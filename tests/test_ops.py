@@ -1,0 +1,142 @@
+"""Op-level math tests: packed lookup, interactions, MLP — each verified
+against a naive per-field numpy implementation mirroring the reference's
+loops (``model/DeepFMs.py:285-469``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.ops import embedding as emb_ops
+from xsdeepfwfm_deprecated_tpu.ops import interactions as inter_ops
+from xsdeepfwfm_deprecated_tpu.ops import mlp as mlp_ops
+
+F_SIZES = [1, 1, 4, 7, 300]   # 2 numeric + 3 categorical (one > qr_threshold 200)
+NUM = 2
+B = 16
+E = 6
+
+
+@pytest.fixture(scope="module")
+def batch(rng):
+    xi = rng.integers(0, [4, 7, 300], size=(B, 3)).astype(np.int32)
+    xv = rng.normal(size=(B, NUM)).astype(np.float32)
+    return xi, xv
+
+
+def naive_lookup(table_list, xi, xv):
+    """Reference semantics: numeric field f → row0 · value; categorical → lookup."""
+    out = np.zeros((B, len(F_SIZES), table_list[0].shape[1]), np.float32)
+    for f in range(len(F_SIZES)):
+        if f < NUM:
+            out[:, f] = table_list[f][0][None, :] * xv[:, f][:, None]
+        else:
+            out[:, f] = table_list[f][xi[:, f - NUM]]
+    return out
+
+
+def split_tables(packed, spec):
+    return [np.asarray(packed[spec.dense_offsets[f]:spec.dense_offsets[f] + F_SIZES[f]])
+            for f in range(len(F_SIZES))]
+
+
+def test_packed_lookup_matches_per_field(batch):
+    xi, xv = batch
+    spec = emb_ops.make_spec(F_SIZES, NUM)
+    tables = emb_ops.init_tables(jax.random.PRNGKey(0), spec, E)
+    got = np.asarray(emb_ops.packed_lookup(tables, spec, jnp.asarray(xi), jnp.asarray(xv)))
+    want = naive_lookup(split_tables(np.asarray(tables["dense"]), spec), xi, xv)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("op", ["mult", "add", "concat"])
+def test_qr_lookup(batch, op):
+    xi, xv = batch
+    spec = emb_ops.make_spec(F_SIZES, NUM, qr_flag=True, qr_collisions=4,
+                             qr_threshold=200, qr_operation=op)
+    assert spec.is_qr_field == (False, False, False, False, True)
+    assert spec.q_rows == 75 and spec.r_rows == 4
+    tables = emb_ops.init_tables(jax.random.PRNGKey(1), spec, E)
+    got = np.asarray(emb_ops.packed_lookup(tables, spec, jnp.asarray(xi), jnp.asarray(xv)))
+    # non-QR fields follow the dense path
+    dense = np.asarray(tables["dense"])
+    for f in range(4):
+        if f < NUM:
+            want = dense[spec.dense_offsets[f]][None, :] * xv[:, f][:, None]
+        else:
+            want = dense[spec.dense_offsets[f] + xi[:, f - NUM]]
+        np.testing.assert_allclose(got[:, f], want, rtol=1e-6)
+    # QR field: quotient/remainder combine (reference QREmbeddingBag:156-174)
+    q, r = np.asarray(tables["q"]), np.asarray(tables["r"])
+    idx = xi[:, 2]
+    eq, er = q[idx // 4], r[idx % 4]
+    want_qr = {"mult": eq * er, "add": eq + er,
+               "concat": np.concatenate([eq, er], -1)}[op]
+    np.testing.assert_allclose(got[:, 4], want_qr, rtol=1e-6)
+
+
+def naive_fwfm(embn, r_sym):
+    """Direct port of the reference einsum chain (model/DeepFMs.py:352-367)."""
+    outer = np.einsum("bke,ble->klbe", embn, embn)
+    outer_w = np.einsum("klbe,kl->klbe", outer, r_sym)
+    return 0.5 * (outer_w.sum((0, 1)) - np.einsum("kkbe->be", outer_w))
+
+
+def test_fwfm_second_order_matches_naive(rng):
+    embn = rng.normal(size=(B, 5, E)).astype(np.float32)
+    r = rng.normal(size=(5, 5)).astype(np.float32)
+    got = np.asarray(inter_ops.fwfm_second_order(jnp.asarray(embn), jnp.asarray(r)))
+    want = naive_fwfm(embn, 0.5 * (r + r.T))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_fm_second_order_matches_naive(rng):
+    embn = rng.normal(size=(B, 5, E)).astype(np.float32)
+    got = np.asarray(inter_ops.fm_second_order(jnp.asarray(embn)))
+    outer = np.einsum("bke,ble->klbe", embn, embn)
+    want = 0.5 * (outer.sum((0, 1)) - np.einsum("kkbe->be", outer))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_fwfm_linear_term(rng):
+    embn = rng.normal(size=(B, 5, E)).astype(np.float32)
+    w = rng.normal(size=(5, E)).astype(np.float32)
+    got = np.asarray(inter_ops.fwfm_linear_term(jnp.asarray(embn), jnp.asarray(w)))
+    # reference: einsum('ijk,ik->ijk') then 'ijk->ji' with i=field, j=batch
+    want = np.einsum("fbe,fe->bf", embn.transpose(1, 0, 2), w)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_ffm_second_order(rng):
+    f = 4
+    pair = rng.normal(size=(B, f, f, E)).astype(np.float32)
+    got = np.asarray(inter_ops.ffm_second_order(jnp.asarray(pair)))
+    want = np.zeros((B, E), np.float32)
+    for i in range(f):
+        for j in range(i + 1, f):
+            want += pair[:, i, j] * pair[:, j, i]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_mlp_forward_eval(rng):
+    net = mlp_ops.init_mlp(jax.random.PRNGKey(0), 12, [8, 8], head_scale=0.1)
+    x = rng.normal(size=(B, 12)).astype(np.float32)
+    out = np.asarray(mlp_ops.mlp_forward(net, jnp.asarray(x),
+                                         dropout_rates=(0.5, 0.5, 0.5), train=False))
+    # naive
+    h = x
+    for layer in net["layers"]:
+        h = np.maximum(h @ np.asarray(layer["w"]) + np.asarray(layer["b"]), 0)
+    want = h @ np.asarray(net["fc_w"])
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-5)
+    assert out.shape == (B, 1)
+
+
+def test_dropout_train_scales(rng):
+    x = jnp.ones((1000, 100))
+    out = mlp_ops.dropout(jax.random.PRNGKey(0), x, 0.5, train=True)
+    kept = np.asarray(out) != 0
+    assert abs(kept.mean() - 0.5) < 0.05
+    np.testing.assert_allclose(np.asarray(out)[kept], 2.0, rtol=1e-6)
+    # eval mode: identity
+    np.testing.assert_array_equal(np.asarray(mlp_ops.dropout(None, x, 0.5, False)), 1.0)

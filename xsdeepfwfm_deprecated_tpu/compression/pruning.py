@@ -1,0 +1,101 @@
+"""DeepLight structural pruning: magnitude pruning with the adaptive schedule.
+
+Reference semantics (``model/DeepFMs.py:647-674`` + ``binary_search_threshold``
+``:807-823``), replicated exactly:
+
+* schedule ``s_t = S · (1 − 0.99^(t/100))`` on the post-warm-up iteration count;
+* three independently-rated groups:
+  (a) ALL 2nd-order embedding tables thresholded **globally** at ``s_t·emb_r``
+      (the reference stacks every per-field table — our packed table already is
+      that stack; QR quotient/remainder tables are included, as the name-match
+      over ``fm_2nd_embeddings`` catches ``weight_q``/``weight_r`` too);
+  (b) every DNN hidden-layer weight **per-layer** at ``s_t`` — including the
+      ``fwfm_linear`` (fwlw) weight, which the reference's
+      ``'linear' in name and 'weight' in name`` filter also catches; biases and
+      the fc head are NOT pruned;
+  (c) the field matrix R thresholded on its symmetrized sum at ``s_t·emb_corr``.
+* weights are **zeroed in place, masks are not persistent** — between prune
+  refreshes the optimizer can regrow pruned weights (reference zeroes
+  ``param.data`` with no mask). We therefore recompute and re-apply thresholds
+  every ``prune_interval`` steps rather than freezing masks.
+
+The reference's 100-step bisection for the magnitude threshold is replaced by
+``jnp.quantile(|w|, s)`` — identical semantics (the value below which a
+fraction ``s`` of magnitudes falls), exact instead of ±1e-4, and a single
+XLA reduction instead of O(100) full-tensor scans.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, TrainConfig
+
+
+def magnitude_threshold(w: jax.Array, target_sparsity: jax.Array) -> jax.Array:
+    """|w| value below which ``target_sparsity`` of entries fall."""
+    return jnp.quantile(jnp.abs(w.ravel()), jnp.clip(target_sparsity, 0.0, 1.0))
+
+
+def apply_threshold(w: jax.Array, threshold: jax.Array) -> jax.Array:
+    """Zero entries with |w| < threshold (reference ``:660-661`` mask+zero)."""
+    return jnp.where(jnp.abs(w) < threshold, jnp.zeros_like(w), w)
+
+
+@partial(jax.jit, static_argnames=("prune_fm", "prune_deep", "prune_r"))
+def prune_params(params: Dict, adaptive_sparse: jax.Array, *,
+                 emb_r: float = 1.0, emb_corr: float = 1.0,
+                 prune_fm: bool = True, prune_deep: bool = True,
+                 prune_r: bool = False) -> Dict:
+    """One prune refresh over the parameter pytree. Returns pruned params."""
+    params = dict(params)
+
+    if prune_fm and "emb2" in params:
+        tables = params["emb2"]
+        flat = jnp.concatenate([t.ravel() for t in tables.values()])
+        thr = jnp.quantile(jnp.abs(flat), jnp.clip(adaptive_sparse * emb_r, 0.0, 1.0))
+        params["emb2"] = {k: apply_threshold(t, thr) for k, t in tables.items()}
+
+    if prune_deep:
+        if "deep" in params:
+            new_deep = {}
+            for net_name, net in params["deep"].items():
+                layers = []
+                for layer in net["layers"]:
+                    thr = magnitude_threshold(layer["w"], adaptive_sparse)
+                    layers.append({"w": apply_threshold(layer["w"], thr), "b": layer["b"]})
+                new_deep[net_name] = {"layers": layers, "fc_w": net["fc_w"]}
+            params["deep"] = new_deep
+        if "fwlw_w" in params:
+            # the reference's 'linear in name' filter also prunes fwfm_linear
+            thr = magnitude_threshold(params["fwlw_w"], adaptive_sparse)
+            params["fwlw_w"] = apply_threshold(params["fwlw_w"], thr)
+
+    if prune_r and "field_cov" in params:
+        r = params["field_cov"]
+        sym = 0.5 * (r + r.T)
+        thr = magnitude_threshold(sym, adaptive_sparse * emb_corr)
+        params["field_cov"] = jnp.where(jnp.abs(sym) < thr, jnp.zeros_like(r), r)
+
+    return params
+
+
+def make_masks(params: Dict, cfg: ModelConfig) -> Dict:
+    """0/1 masks of the current sparsity pattern (for serving-time sparse
+    kernels and checkpoint metadata; training itself follows the reference's
+    zero-in-place behavior)."""
+    return jax.tree.map(lambda p: (p != 0).astype(p.dtype), params)
+
+
+def sparsity_report(params: Dict) -> Dict[str, float]:
+    total = 0
+    nonzero = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size
+        nonzero += int(jnp.sum(leaf != 0))
+    return {"total": total, "nonzero": nonzero,
+            "sparsity_pct": 100.0 * (1.0 - nonzero / max(total, 1))}

@@ -1,0 +1,202 @@
+"""Post-training quantization drivers: dynamic / static / QAT conversion.
+
+TPU-native counterpart of the reference's three torch.quantization modes
+(``quantization.py``):
+
+* **dynamic** (``:48-64``): int8 weights for the deep tower's Linear layers
+  only, activation scales computed per batch at runtime;
+* **static PTQ** (``:72-114``): a calibration pass (5 × 2048 train rows, as the
+  reference) records per-layer activation abs-max → fixed activation scales;
+  embeddings become weight-only int8 with per-row scales;
+* **QAT** (``:118-147``): training runs with fake-quant (STE) around the deep
+  tower — see ``ModelConfig.quantization_aware`` — and converts to the same
+  int8 serving model on eval.
+
+Exactly like the reference, the FM/FwFM einsum interactions stay float32 — the
+reference dequantizes there because einsum is not quantizable
+(``model/DeepFMs.py:341-344,358-359``); here the table dequant happens on
+gather so interactions always see f32 vectors.
+
+The quantized model is served by :func:`quantized_forward` — a separate jitted
+function mirroring :func:`..models.deepfwfm.forward` with the deep tower on the
+int8 MXU path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models import deepfwfm
+from ..ops import embedding as emb_ops
+from ..ops import interactions as inter_ops
+from ..ops import mlp as mlp_ops
+from ..ops import quantized as q_ops
+
+
+@dataclass
+class QuantizedModel:
+    """Converted int8 model: fp32 shallow params + int8 tables/MLP."""
+    cfg: ModelConfig
+    mode: str                       # dynamic | static | qat
+    params_fp: Dict                 # bias / lw / fwlw / field_cov (fp32)
+    emb1_q: Optional[Dict]          # weight-only int8 tables {name: {q, scale}}
+    emb2_q: Optional[Dict]
+    deep_q: Optional[Dict]          # {net_i: {layers: [{w_q, w_scale, b}], fc: ...}}
+    act_scales: Optional[Dict]      # static mode: per-layer activation scales
+
+    def size_bytes(self) -> int:
+        total = 0
+        for tree in (self.params_fp, self.emb1_q, self.emb2_q, self.deep_q, self.act_scales):
+            if tree is not None:
+                total += sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
+        return total
+
+
+def _quantize_tables(tables: Optional[Dict]) -> Optional[Dict]:
+    if tables is None:
+        return None
+    return {k: q_ops.quantize_embedding_rows(t) for k, t in tables.items()}
+
+
+def _quantize_deep(deep: Dict) -> Dict:
+    out = {}
+    for net_name, net in deep.items():
+        layers = []
+        for layer in net["layers"]:
+            w_q, w_scale = q_ops.quantize_symmetric(layer["w"], axis=1)  # per-out-channel
+            layers.append({"w_q": w_q, "w_scale": w_scale.reshape(-1), "b": layer["b"]})
+        fc_q, fc_scale = q_ops.quantize_symmetric(net["fc_w"], axis=1)
+        out[net_name] = {"layers": layers, "fc": {"w_q": fc_q, "w_scale": fc_scale.reshape(-1)}}
+    return out
+
+
+def convert(params: Dict, cfg: ModelConfig, mode: str = "dynamic",
+            act_scales: Optional[Dict] = None,
+            quantize_embeddings: bool = True) -> QuantizedModel:
+    """params (fp32 pytree) → :class:`QuantizedModel`."""
+    params_fp = {k: v for k, v in params.items()
+                 if k in ("bias", "lw_w", "fwlw_w", "field_cov")}
+    emb1_q = _quantize_tables(params.get("emb1")) if quantize_embeddings else None
+    emb2_q = _quantize_tables(params.get("emb2")) if quantize_embeddings else None
+    if not quantize_embeddings:
+        params_fp["emb1"] = params.get("emb1")
+        params_fp["emb2"] = params.get("emb2")
+    deep_q = _quantize_deep(params["deep"]) if "deep" in params else None
+    return QuantizedModel(cfg=cfg, mode=mode, params_fp=params_fp,
+                          emb1_q=emb1_q, emb2_q=emb2_q, deep_q=deep_q,
+                          act_scales=act_scales)
+
+
+def calibrate(params: Dict, cfg: ModelConfig, xi: np.ndarray, xv: np.ndarray,
+              n_batches: int = 5, batch_size: int = 2048) -> Dict:
+    """Static-PTQ calibration: run ``n_batches × batch_size`` rows (reference
+    ``quantization.py:92-103``) and record per-layer activation abs-max."""
+    spec = deepfwfm.make_embedding_spec(cfg)
+    n_layers = cfg.h_depth
+
+    @jax.jit
+    def layer_maxes(xi_b, xv_b):
+        emb2 = emb_ops.packed_lookup(params["emb2"], spec, xi_b, xv_b)
+        x = emb2.reshape(xi_b.shape[0], -1)
+        maxes = [jnp.max(jnp.abs(x))]
+        net = params["deep"]["net_1"]
+        for layer in net["layers"]:
+            x = jax.nn.relu(x @ layer["w"] + layer["b"])
+            maxes.append(jnp.max(jnp.abs(x)))
+        return jnp.stack(maxes)
+
+    amax = np.zeros(n_layers + 1)
+    n = xi.shape[0]
+    for i in range(n_batches):
+        lo = (i * batch_size) % max(n - batch_size, 1)
+        sl = slice(lo, lo + batch_size)
+        m = np.asarray(layer_maxes(jnp.asarray(xi[sl]), jnp.asarray(xv[sl])))
+        amax = np.maximum(amax, m)
+    scales = np.maximum(amax, 1e-12) / 127.0
+    return {"input": jnp.float32(scales[0]),
+            "hidden": [jnp.float32(s) for s in scales[1:]]}
+
+
+def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array) -> jax.Array:
+    """Serving forward on the int8 path. Mirrors
+    :func:`..models.deepfwfm.forward` (eval mode) with:
+
+    * embedding gather with per-row dequant (weight-only int8),
+    * deep tower as int8 MXU matmuls (dynamic or calibrated activation scales),
+    * interactions/linear terms fp32 (reference dequantizes for einsum).
+    """
+    cfg = qm.cfg
+    spec = deepfwfm.make_embedding_spec(cfg)
+    b = xi.shape[0]
+    raw, scale = emb_ops.build_indices(spec, xi, xv)
+
+    def lookup(tables_q, tables_fp, dim):
+        if tables_q is not None:
+            offs = jnp.asarray(spec.dense_offsets, dtype=raw.dtype)[None, :]
+            idx = jnp.clip(offs + raw, 0, tables_q["dense"]["q"].shape[0] - 1)
+            emb = q_ops.gather_dequant(tables_q["dense"], idx)
+            if spec.has_qr:
+                c = spec.qr_collisions
+                qi = jnp.clip(jnp.asarray(spec.q_offsets)[None, :] + raw // c,
+                              0, tables_q["q"]["q"].shape[0] - 1)
+                ri = jnp.clip(jnp.asarray(spec.r_offsets)[None, :] + raw % c,
+                              0, tables_q["r"]["q"].shape[0] - 1)
+                eq = q_ops.gather_dequant(tables_q["q"], qi)
+                er = q_ops.gather_dequant(tables_q["r"], ri)
+                qr = {"mult": eq * er, "add": eq + er}.get(
+                    spec.qr_operation, jnp.concatenate([eq, er], -1))
+                emb = jnp.where(jnp.asarray(spec.is_qr_field)[None, :, None], qr, emb)
+            return emb * scale[..., None]
+        return emb_ops.packed_lookup(tables_fp, spec, xi, xv)
+
+    first_order = None
+    second_order = None
+    emb2 = None
+    if cfg.use_logit or cfg.use_fm or cfg.use_fwfm:
+        if not cfg.use_fwlw:
+            first_order = lookup(qm.emb1_q, qm.params_fp.get("emb1"), 1)[..., 0]
+        if cfg.use_fm or cfg.use_fwfm:
+            emb2 = lookup(qm.emb2_q, qm.params_fp.get("emb2"), cfg.embedding_size)
+            if cfg.use_fwlw:
+                first_order = inter_ops.fwfm_linear_term(emb2, qm.params_fp["fwlw_w"])
+            second_order = (inter_ops.fm_second_order(emb2) if cfg.use_fm
+                            else inter_ops.fwfm_second_order(emb2, qm.params_fp["field_cov"]))
+
+    x_deep = None
+    if cfg.use_deep:
+        if emb2 is None:
+            emb2 = lookup(qm.emb2_q, qm.params_fp.get("emb2"), cfg.embedding_size)
+        x = emb2.reshape(b, -1)
+        act = qm.act_scales
+        for nidx in range(1, cfg.num_deeps + 1):
+            net = qm.deep_q[f"net_{nidx}"]
+            h = x
+            for i, layer in enumerate(net["layers"]):
+                a_scale = act["hidden"][i - 1] if (act is not None and i > 0) else \
+                          (act["input"] if act is not None else None)
+                h = q_ops.quantized_dense(h, layer["w_q"], layer["w_scale"],
+                                          layer["b"], a_scale)
+                h = jax.nn.relu(h)
+            a_scale = act["hidden"][-1] if act is not None else None
+            out = q_ops.quantized_dense(h, net["fc"]["w_q"], net["fc"]["w_scale"],
+                                        None, a_scale)
+            x_deep = out
+
+    bias = qm.params_fp["bias"][0] if "bias" in qm.params_fp else jnp.float32(0.01)
+    if (cfg.use_fm or cfg.use_fwfm) and cfg.use_lw:
+        first_order = jnp.dot(first_order, qm.params_fp["lw_w"],
+                              preferred_element_type=jnp.float32)
+    if cfg.use_logit:
+        return jnp.sum(first_order, axis=1) + bias
+    if (cfg.use_fm or cfg.use_fwfm) and cfg.use_deep:
+        return (jnp.sum(first_order, axis=1) + jnp.sum(second_order, axis=1)
+                + jnp.sum(x_deep, axis=1) + bias)
+    if cfg.use_fm or cfg.use_fwfm:
+        return jnp.sum(first_order, axis=1) + jnp.sum(second_order, axis=1) + bias
+    return jnp.sum(x_deep, axis=1) + bias

@@ -1,0 +1,182 @@
+"""Packed embedding tables: one fused gather instead of per-field loops.
+
+The reference does 39 sequential Python-loop lookups over per-field
+``nn.Embedding`` modules (``model/DeepFMs.py:302-335``; its own comments record
+47% + 43% of forward time there). TPU-native design: all per-field tables are
+packed into a single ``(sum(feature_sizes), E)`` array with static per-field
+row offsets, so the whole lookup is ONE XLA gather of shape ``(B, F)`` →
+``(B, F, E)``, fused with the numeric-value scaling.
+
+Numeric-field semantics match the reference exactly: a numeric field has a
+single embedding row (feature_size 1) that is scaled by the raw value
+(``model/DeepFMs.py:302-304,334-335`` — row 0 of the size-1 table × Xv).
+
+QR (quotient-remainder) compositional embeddings (reference
+``model/QREmbeddingBag.py:156-174`` + ``create_emb`` ``model/DeepFMs.py:1066-1091``)
+are folded into the same design: fields whose cardinality exceeds
+``qr_threshold`` get rows in packed quotient/remainder tables instead of the
+dense table; a static per-field mask selects which path feeds the output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PackedEmbeddingSpec:
+    """Static layout of a packed (possibly QR-composed) embedding table set."""
+
+    feature_sizes: Tuple[int, ...]
+    numerical: int
+    qr_flag: bool = False
+    qr_collisions: int = 4
+    qr_threshold: int = 200
+    qr_operation: str = "mult"
+
+    # Derived (filled by make_spec)
+    dense_offsets: Tuple[int, ...] = ()
+    dense_rows: int = 0
+    q_offsets: Tuple[int, ...] = ()
+    q_rows: int = 0
+    r_offsets: Tuple[int, ...] = ()
+    r_rows: int = 0
+    is_qr_field: Tuple[bool, ...] = ()
+
+    @property
+    def field_size(self) -> int:
+        return len(self.feature_sizes)
+
+    @property
+    def has_qr(self) -> bool:
+        return any(self.is_qr_field)
+
+    @property
+    def total_rows(self) -> int:
+        return self.dense_rows + self.q_rows + self.r_rows
+
+
+def make_spec(feature_sizes: Sequence[int], numerical: int, *, qr_flag: bool = False,
+              qr_collisions: int = 4, qr_threshold: int = 200,
+              qr_operation: str = "mult") -> PackedEmbeddingSpec:
+    """Compute packed offsets. A field uses QR iff ``qr_flag`` and its
+    cardinality exceeds ``qr_threshold`` (reference ``create_emb``,
+    ``model/DeepFMs.py:1071``)."""
+    dense_offsets, q_offsets, r_offsets, is_qr = [], [], [], []
+    d_off = q_off = r_off = 0
+    for n in feature_sizes:
+        use_qr = bool(qr_flag and n > qr_threshold)
+        is_qr.append(use_qr)
+        if use_qr:
+            dense_offsets.append(0)       # unused for this field
+            q_offsets.append(q_off)
+            r_offsets.append(r_off)
+            q_off += -(-n // qr_collisions)   # ceil(n / collisions)
+            r_off += qr_collisions
+        else:
+            dense_offsets.append(d_off)
+            q_offsets.append(0)
+            r_offsets.append(0)
+            d_off += n
+    return PackedEmbeddingSpec(
+        feature_sizes=tuple(int(n) for n in feature_sizes), numerical=numerical,
+        qr_flag=qr_flag, qr_collisions=qr_collisions, qr_threshold=qr_threshold,
+        qr_operation=qr_operation,
+        dense_offsets=tuple(dense_offsets), dense_rows=d_off,
+        q_offsets=tuple(q_offsets), q_rows=q_off,
+        r_offsets=tuple(r_offsets), r_rows=r_off,
+        is_qr_field=tuple(is_qr))
+
+
+def init_tables(key: jax.Array, spec: PackedEmbeddingSpec, embedding_dim: int,
+                scale: float = 1.0, dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """N(0,1)·scale init for every table (reference ``init_weights``:
+    1st-order scale 1.0, 2nd-order scale 0.01, ``model/DeepFMs.py:479-481``;
+    the uniform EmbeddingBag init is overwritten by init_weights in the
+    reference, so normal init applies to dense and QR paths alike)."""
+    kd, kq, kr = jax.random.split(key, 3)
+    tables = {"dense": jax.random.normal(kd, (max(spec.dense_rows, 1), embedding_dim), dtype) * scale}
+    if spec.has_qr:
+        qd, rd = _qr_dims(spec, embedding_dim)
+        tables["q"] = jax.random.normal(kq, (spec.q_rows, qd), dtype) * scale
+        tables["r"] = jax.random.normal(kr, (spec.r_rows, rd), dtype) * scale
+    return tables
+
+
+def _qr_dims(spec: PackedEmbeddingSpec, embedding_dim: int) -> Tuple[int, int]:
+    """Per-table dims for the QR combine.
+
+    mult/add keep dim E per table (reference ``QREmbeddingBag:131-133``).
+    concat in the reference doubles the output dim, which would shape-error in
+    its own forward; here concat splits E between the two tables so the output
+    stays E (documented deviation).
+    """
+    if spec.qr_operation == "concat":
+        return embedding_dim // 2, embedding_dim - embedding_dim // 2
+    return embedding_dim, embedding_dim
+
+
+def build_indices(spec: PackedEmbeddingSpec, xi: jax.Array, xv: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """(xi int32 (B, C), xv f32 (B, Nnum)) → (raw per-field index (B, F), scale (B, F)).
+
+    Numeric fields use index 0 into their single-row slot with scale = value;
+    categorical fields use the mapped index with scale = 1.
+    """
+    B = xi.shape[0]
+    num = spec.numerical
+    raw_num = jnp.zeros((B, num), dtype=xi.dtype)
+    raw = jnp.concatenate([raw_num, xi], axis=1)
+    scale = jnp.concatenate([xv, jnp.ones((B, spec.field_size - num), dtype=xv.dtype)], axis=1)
+    return raw, scale
+
+
+def packed_lookup(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
+                  xi: jax.Array, xv: jax.Array) -> jax.Array:
+    """Fused lookup: → (B, F, E) field-embedding tensor, values pre-scaled.
+
+    One gather for the dense path (+ two small gathers for QR fields when
+    enabled), replacing the reference's per-field Python loops.
+    """
+    raw, scale = build_indices(spec, xi, xv)
+    dense_emb = _dense_gather(tables["dense"], spec, raw)
+    if spec.has_qr:
+        qr_emb = _qr_gather(tables, spec, raw)
+        mask = jnp.asarray(spec.is_qr_field)[None, :, None]
+        emb = jnp.where(mask, qr_emb, dense_emb)
+    else:
+        emb = dense_emb
+    return emb * scale[..., None]
+
+
+def _dense_gather(table: jax.Array, spec: PackedEmbeddingSpec, raw: jax.Array) -> jax.Array:
+    offs = jnp.asarray(spec.dense_offsets, dtype=raw.dtype)[None, :]
+    idx = jnp.clip(offs + raw, 0, table.shape[0] - 1)
+    return jnp.take(table, idx, axis=0)
+
+
+def _qr_gather(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
+               raw: jax.Array) -> jax.Array:
+    """Quotient/remainder split + combine (reference ``QREmbeddingBag:156-174``)."""
+    c = spec.qr_collisions
+    q_offs = jnp.asarray(spec.q_offsets, dtype=raw.dtype)[None, :]
+    r_offs = jnp.asarray(spec.r_offsets, dtype=raw.dtype)[None, :]
+    q_idx = jnp.clip(q_offs + raw // c, 0, tables["q"].shape[0] - 1)
+    r_idx = jnp.clip(r_offs + raw % c, 0, tables["r"].shape[0] - 1)
+    q_emb = jnp.take(tables["q"], q_idx, axis=0)
+    r_emb = jnp.take(tables["r"], r_idx, axis=0)
+    if spec.qr_operation == "mult":
+        return q_emb * r_emb
+    if spec.qr_operation == "add":
+        return q_emb + r_emb
+    return jnp.concatenate([q_emb, r_emb], axis=-1)  # concat (split-E variant)
+
+
+def table_param_count(tables: Dict[str, jax.Array]) -> int:
+    return int(sum(np.prod(t.shape) for t in tables.values()))

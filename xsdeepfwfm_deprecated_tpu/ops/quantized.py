@@ -1,0 +1,104 @@
+"""Int8 quantization primitives: symmetric per-tensor / per-channel / per-row
+quantization, int8 MXU matmuls, and fake-quant (STE) for QAT.
+
+XLA-native counterpart of the reference's fbgemm-backed torch.quantization
+paths (``quantization.py:48-134``): TPU v5e MXUs execute int8×int8→int32
+contractions natively via ``lax.dot_general`` with
+``preferred_element_type=int32``; embedding tables use weight-only int8 with
+per-row scales and dequant-on-gather (the ``float_qparams_weight_only_qconfig``
+equivalent, reference ``model/DeepFMs.py:232-258``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_symmetric(x: jax.Array, axis=None) -> Tuple[jax.Array, jax.Array]:
+    """x ≈ q·scale with q ∈ int8 [-127, 127]; scale per-tensor (axis=None) or
+    per-axis (reduced over all other axes)."""
+    if axis is None:
+        amax = jnp.max(jnp.abs(x))
+    else:
+        reduce_axes = tuple(i for i in range(x.ndim) if i != axis)
+        amax = jnp.max(jnp.abs(x), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize(q: jax.Array, scale: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * scale
+
+
+def quantize_embedding_rows(table: jax.Array) -> Dict[str, jax.Array]:
+    """Weight-only int8 with per-row scales (dequant on gather)."""
+    amax = jnp.max(jnp.abs(table), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(table / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def gather_dequant(qtable: Dict[str, jax.Array], idx: jax.Array) -> jax.Array:
+    """Gather int8 rows + their scales, dequantize after the (4× smaller) HBM read."""
+    rows = jnp.take(qtable["q"], idx, axis=0).astype(jnp.float32)
+    scales = jnp.take(qtable["scale"], idx, axis=0)
+    return rows * scales
+
+
+def int8_matmul(x_q: jax.Array, w_q: jax.Array, x_scale: jax.Array,
+                w_scale: jax.Array) -> jax.Array:
+    """(B, K) int8 @ (K, N) int8 → f32, int32 accumulation on the MXU.
+
+    ``w_scale`` may be per-tensor or per-output-channel ``(1, N)``.
+    """
+    acc = jax.lax.dot_general(
+        x_q, w_q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * x_scale * w_scale.reshape(1, -1)
+
+
+def quantized_dense(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+                    b: jax.Array | None, act_scale: jax.Array | None = None) -> jax.Array:
+    """One quantized linear layer: f32 activations → int8 → MXU int8 matmul → f32.
+
+    ``act_scale=None`` = dynamic quantization (scale from this batch's abs-max,
+    reference ``quantize_dynamic`` path); a fixed scale = static PTQ
+    (calibrated observers, reference ``quantization.py:87-107``).
+    """
+    if act_scale is None:
+        amax = jnp.max(jnp.abs(x))
+        act_scale = jnp.maximum(amax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x / act_scale), -127, 127).astype(jnp.int8)
+    out = int8_matmul(x_q, w_q, act_scale, w_scale)
+    if b is not None:
+        out = out + b
+    return out
+
+
+@jax.custom_vjp
+def fake_quant(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Quantize-dequantize with a straight-through gradient (QAT fake-quant,
+    the counterpart of torch's FakeQuantize modules in the reference QAT path
+    ``quantization.py:118-134``)."""
+    return jnp.clip(jnp.round(x / scale), -127, 127) * scale
+
+
+def _fq_fwd(x, scale):
+    return fake_quant(x, scale), None
+
+
+def _fq_bwd(_, g):
+    return g, None
+
+
+fake_quant.defvjp(_fq_fwd, _fq_bwd)
+
+
+def fake_quant_per_tensor(x: jax.Array) -> jax.Array:
+    amax = jax.lax.stop_gradient(jnp.max(jnp.abs(x)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    return fake_quant(x, scale)

@@ -1,0 +1,103 @@
+"""Device meshes and sharding specs for multi-chip / multi-host scaling.
+
+The reference has NO distributed execution of any kind (its ``-use_multi``
+flag is parsed and consumed nowhere, ``utils/parameters.py:9``; multi-GPU is
+documented broken, ``model/QREmbeddingBag.py:46``). This module is the
+TPU-native scaling story:
+
+* a named 2-D mesh ``('data', 'model')`` — batch parallel over ``data``,
+  embedding-table rows sharded over ``model``;
+* NamedShardings for the parameter pytree: packed tables row-sharded on
+  ``model`` (tables are ~97% of DeepFwFM parameters), everything else
+  (R matrix, MLP, linear heads) replicated;
+* multi-host initialization via ``jax.distributed``.
+
+Collectives ride ICI inside a slice / DCN across hosts — all inserted by XLA
+from the sharding annotations, or issued explicitly in
+:mod:`.embedding_sharding` for the lookup exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ``(data, model)`` mesh. ``data=None`` uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None or data <= 0:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (no-op on a single host). The counterpart of the
+    reference's nonexistent NCCL/MPI layer: JAX's distributed runtime +
+    XLA collectives."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def param_shardings(params: Dict, mesh: Mesh) -> Dict:
+    """NamedShardings for the parameter pytree: embedding tables row-sharded
+    over ``model``; everything else replicated."""
+    table_s = NamedSharding(mesh, P(MODEL_AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    def assign(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        if names and names[0] in ("emb1", "emb2", "ffm1", "ffm2") and names[-1] == "dense":
+            # only the dense packed table is sharded; q/r QR tables are tiny
+            if leaf.ndim == 2 and leaf.shape[0] % mesh.shape[MODEL_AXIS] == 0:
+                return table_s
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def batch_shardings(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding, NamedSharding]:
+    """(xi, xv, y/mask) shardings: batch dim over ``data``, replicated over ``model``."""
+    s2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    s1 = NamedSharding(mesh, P(DATA_AXIS))
+    return s2, s2, s1
+
+
+def pad_rows_for_mesh(params: Dict, mesh: Mesh) -> Dict:
+    """Pad packed dense tables so row counts divide the ``model`` axis.
+
+    Pad rows sit past every real global index (indices never reach them), so
+    semantics are unchanged; they are carried as zeros.
+    """
+    m = mesh.shape[MODEL_AXIS]
+    if m <= 1:
+        return params
+    import jax.numpy as jnp
+
+    def pad(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        if names and names[0] in ("emb1", "emb2", "ffm1", "ffm2") and names[-1] == "dense":
+            rows = leaf.shape[0]
+            target = -(-rows // m) * m
+            if target != rows:
+                return jnp.concatenate(
+                    [leaf, jnp.zeros((target - rows,) + leaf.shape[1:], leaf.dtype)], 0)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(pad, params)

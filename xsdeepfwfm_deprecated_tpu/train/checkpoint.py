@@ -1,0 +1,92 @@
+"""Checkpoint / resume: params + optimizer state + step + RNG + metadata.
+
+Upgrades the reference's per-epoch ``torch.save(state_dict)`` (weights only,
+no optimizer state, no step — ``model/DeepFMs.py:706-707``, ``utils/util.py:45-55``)
+to a full training-state checkpoint so runs can actually resume. Format is a
+single ``.npz`` of flattened pytree leaves plus a JSON metadata sidecar —
+dependency-light, works identically on CPU/TPU hosts, loadable with
+``strict=False`` semantics for sparse/partial checkpoints like the reference's
+loader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_path:
+        name = prefix + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k)))) for k in path)
+        flat[name] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None, *,
+                    step: int = 0, epoch: int = 0,
+                    metadata: Optional[Dict] = None) -> None:
+    """Write ``<path>.npz`` (+ ``<path>.meta.json``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    arrays = {"params::" + k: v for k, v in _flatten(params).items()}
+    if opt_state is not None:
+        arrays.update({"opt::" + k: v for k, v in _flatten(opt_state).items()})
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+    meta = dict(metadata or {})
+    meta.update({"step": int(step), "epoch": int(epoch)})
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def _meta_path(path: str) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return base + ".meta.json"
+
+
+def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = None,
+                    *, strict: bool = True) -> Tuple[Any, Any, Dict]:
+    """Restore (params, opt_state, metadata) shaped like the given templates.
+
+    ``strict=False`` tolerates missing entries (keeps template values), the
+    counterpart of the reference's sparse-checkpoint load
+    (``utils/util.py:45-55``).
+    """
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    data = np.load(npz_path)
+
+    def restore(template: Any, prefix: str) -> Any:
+        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+        new_leaves = []
+        for p, leaf in leaves_with_path:
+            name = prefix + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k)))) for k in p)
+            if name in data:
+                arr = data[name]
+                new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype)
+                                  if hasattr(leaf, "dtype") else arr)
+            elif strict:
+                raise KeyError(f"checkpoint missing {name}")
+            else:
+                new_leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    params = restore(params_template, "params::")
+    opt_state = (restore(opt_state_template, "opt::")
+                 if opt_state_template is not None else None)
+    meta: Dict = {}
+    if os.path.exists(_meta_path(path)):
+        with open(_meta_path(path)) as f:
+            meta = json.load(f)
+    return params, opt_state, meta
+
+
+def model_size_bytes(params: Any) -> int:
+    """Serialized size of the parameter pytree (counterpart of the reference's
+    temp-file state-dict size, ``model/DeepFMs.py:905-911``)."""
+    return int(sum(np.asarray(leaf).nbytes for leaf in jax.tree.leaves(params)))

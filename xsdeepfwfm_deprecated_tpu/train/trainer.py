@@ -1,0 +1,351 @@
+"""Training runtime: jit-compiled train step + sklearn-style estimator.
+
+TPU-native redesign of the reference's monolithic ``DeepFMs.fit``
+(``model/DeepFMs.py:497-748``) / ``eval_by_batch`` (``:750-784``) /
+``predict*`` (``:848-903``). The estimator keeps the reference's public
+surface (``fit(Xi, Xv, y, ...)`` with prune/KD options, ``predict``,
+``predict_proba``, ``evaluate``, ``print_size_of_model``) while the compute is
+pure-functional JAX:
+
+* ONE compiled train step (static batch shapes, padded tail batches) instead
+  of per-batch tensor construction + H2D copies;
+* optimizers via optax chains that replicate torch semantics (L2 added to the
+  gradient before the moment updates, i.e. ``add_decayed_weights`` upstream of
+  the scaler — torch ``Adam(weight_decay=...)`` behavior);
+* in-loop DeepLight pruning as a second jitted function applied every
+  ``prune_interval`` steps past the warm-up epoch (reference ``:647-674``);
+* per-epoch train/valid logloss/AUC/PRAUC/RCE + sparsity telemetry, epoch-end
+  full-dataset shuffle, per-epoch checkpointing, 3-decline early stop
+  (reference ``:676-710``, ``:834-846``).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..compression.distillation import kd_loss
+from ..compression.pruning import prune_params, sparsity_report
+from ..config import ModelConfig, TrainConfig
+from ..data import batching
+from ..models import deepfwfm
+from . import checkpoint as ckpt
+from . import metrics as M
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """torch-parity optimizers (reference ``fit``, ``model/DeepFMs.py:553-560``)."""
+    lr, wd = tcfg.learning_rate, tcfg.weight_decay
+    kind = tcfg.optimizer_type
+    if kind == "adam":
+        core = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    elif kind == "rmsp":
+        core = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+    elif kind == "adag":
+        core = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    elif kind == "sgd":
+        core = optax.sgd(lr, momentum=tcfg.momentum or None)
+    else:
+        raise ValueError(f"unknown optimizer {kind!r}")
+    if wd:
+        # torch-style L2: decay joins the raw gradient before moment updates
+        return optax.chain(optax.add_decayed_weights(wd), core)
+    return core
+
+
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    optimizer: optax.GradientTransformation, *, use_kd: bool = False):
+    """Build the jitted train step. Masked mean-BCE matches the reference's
+    per-batch ``binary_cross_entropy_with_logits`` mean on unpadded batches."""
+
+    def loss_fn(params, xi, xv, y, mask, rng, teacher_logits):
+        logits = deepfwfm.forward(params, xi, xv, mcfg, train=True, rng=rng)
+        if use_kd:
+            return kd_loss(logits, teacher_logits, y, mask,
+                           alpha=tcfg.kd_alpha, temperature=tcfg.kd_temperature)
+        elem = optax.sigmoid_binary_cross_entropy(logits, y)
+        return jnp.sum(elem * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, xi, xv, y, mask, rng, teacher_logits):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xi, xv, y, mask, rng, teacher_logits)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_fn(mcfg: ModelConfig):
+    @jax.jit
+    def eval_fn(params, xi, xv):
+        return deepfwfm.forward(params, xi, xv, mcfg, train=False)
+    return eval_fn
+
+
+class DeepFMEstimator:
+    """sklearn-estimator-shaped wrapper (reference ``DeepFMs`` public surface)."""
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 logger=None):
+        self.mcfg = model_cfg
+        self.tcfg = train_cfg
+        from ..utils.logging import get_logger
+        self.logger = logger or get_logger()
+        self.params: Optional[Dict] = None
+        self.opt_state = None
+        self._eval_fn = None
+        self._step = 0
+        self.train_result: list = []
+        self.valid_result: list = []
+
+    # ------------------------------------------------------------------ util
+
+    def _log(self, msg: str):
+        self.logger.info(msg)
+
+    def init_params(self, seed: Optional[int] = None) -> Dict:
+        key = jax.random.PRNGKey(self.tcfg.random_seed if seed is None else seed)
+        self.params = deepfwfm.init_params(key, self.mcfg)
+        return self.params
+
+    @property
+    def eval_fn(self):
+        if self._eval_fn is None:
+            self._eval_fn = make_eval_fn(self.mcfg)
+        return self._eval_fn
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, Xi_train, Xv_train, y_train, Xi_valid=None, Xv_valid=None,
+            y_valid=None, *, early_stopping: bool = False, save_path: Optional[str] = None,
+            prune: Optional[bool] = None, prune_fm: Optional[bool] = None,
+            prune_r: Optional[bool] = None, prune_deep: Optional[bool] = None,
+            emb_r: Optional[float] = None, emb_corr: Optional[float] = None,
+            teacher_model: "DeepFMEstimator" = None) -> "DeepFMEstimator":
+        """Train. Array-argument layout matches the reference ``fit``
+        (``model/DeepFMs.py:497-516``): Xi (N, C[, 1]) int indices of
+        categorical fields, Xv (N, Nnum) float values, y (N,) labels."""
+        tc = self.tcfg
+        do_prune = tc.prune if prune is None else bool(prune)
+        p_fm = tc.prune_fm if prune_fm is None else bool(prune_fm)
+        p_r = tc.prune_r if prune_r is None else bool(prune_r)
+        p_deep = tc.prune_deep if prune_deep is None else bool(prune_deep)
+        r_emb = tc.emb_r if emb_r is None else float(emb_r)
+        r_corr = tc.emb_corr if emb_corr is None else float(emb_corr)
+
+        Xi_train = np.asarray(Xi_train, dtype=np.int32).reshape(
+            -1, self.mcfg.num_categorical)
+        Xv_train = np.asarray(Xv_train, dtype=np.float32)
+        y_train = np.asarray(y_train, dtype=np.float32).ravel()
+        is_valid = Xi_valid is not None and len(Xi_valid) > 0
+        if is_valid:
+            Xi_valid = np.asarray(Xi_valid, dtype=np.int32).reshape(
+                -1, self.mcfg.num_categorical)
+            Xv_valid = np.asarray(Xv_valid, dtype=np.float32)
+            y_valid = np.asarray(y_valid, dtype=np.float32).ravel()
+
+        self._log("init_weights")
+        if self.params is None:
+            self.init_params()
+
+        optimizer = make_optimizer(tc)
+        self.opt_state = optimizer.init(self.params)
+        use_kd = teacher_model is not None
+        train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd)
+
+        counts = deepfwfm.param_group_counts(self.params, self.mcfg)
+        self._log("========")
+        self._log(f"Summation of feature sizes: {sum(self.mcfg.feature_sizes):,}")
+        self._log(f"Number of 1st order embeddings: {counts['first_order_embeddings']:,}")
+        self._log(f"Number of 2nd order embeddings: {counts['second_order_embeddings']:,}")
+        if self.mcfg.use_fwfm:
+            self._log(f"Number of 2nd order interactions: {counts['field_cov_nonzero_sym']:,}")
+        if self.mcfg.use_deep:
+            self._log(f"Number of DNN parameters: {counts['dnn']:,}")
+        self._log(f"Number of total parameters: {counts['total']:,}")
+        self._log("========")
+        num_total_original = counts["total"]
+
+        rng_np = np.random.default_rng(tc.random_seed)
+        step_key = jax.random.PRNGKey(tc.random_seed + 1)
+        n_iter = 0
+        zeros_teacher = jnp.zeros((tc.batch_size,), jnp.float32)
+        self.train_result, self.valid_result = [], []
+
+        for epoch in range(tc.n_epochs):
+            epoch_begin = time.time()
+            total_loss = 0.0
+
+            teacher_logits_all = None
+            if use_kd:
+                t0 = time.time()
+                teacher_logits_all = teacher_model._predict_logits(Xi_train, Xv_train)
+                self._log(f"- Finished computing teacher outputs after {time.time() - t0:.0f} secs..")
+
+            offset = 0
+            for batch in batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size):
+                if epoch >= tc.warm:
+                    n_iter += 1
+                step_key, sub = jax.random.split(step_key)
+                if use_kd:
+                    t_log = teacher_logits_all[offset:offset + tc.batch_size]
+                    if t_log.shape[0] < tc.batch_size:
+                        t_log = np.concatenate(
+                            [t_log, np.zeros(tc.batch_size - t_log.shape[0], np.float32)])
+                    t_log = jnp.asarray(t_log)
+                else:
+                    t_log = zeros_teacher
+                self.params, self.opt_state, loss = train_step(
+                    self.params, self.opt_state, jnp.asarray(batch["xi"]),
+                    jnp.asarray(batch["xv"]), jnp.asarray(batch["y"]),
+                    jnp.asarray(batch["mask"]), sub, t_log)
+                total_loss += float(loss)
+                offset += tc.batch_size
+                self._step += 1
+
+                # in-loop DeepLight pruning (reference :647-674)
+                i_batch = offset // tc.batch_size - 1
+                is_last = offset >= Xi_train.shape[0]
+                if do_prune and (is_last or i_batch % tc.prune_interval == tc.prune_interval - 1) \
+                        and epoch >= tc.warm:
+                    adaptive = tc.adaptive_sparse(n_iter)
+                    self.params = prune_params(
+                        self.params, jnp.float32(adaptive), emb_r=r_emb, emb_corr=r_corr,
+                        prune_fm=p_fm and self.mcfg.needs_emb2, prune_deep=p_deep,
+                        prune_r=p_r and self.mcfg.use_fwfm)
+
+            rep = sparsity_report(self.params)
+            self._log("Model parameters %d, sparse rate %.2f%%"
+                      % (rep["nonzero"], rep["sparsity_pct"]))
+            train_loss, train_auc, train_prauc, train_rce = self.eval_by_batch(
+                Xi_train, Xv_train, y_train)
+            self.train_result.append(train_auc)
+            self._log("Training [%d] loss: %.6f metric: %.6f prauc: %.4f rce: %.2f "
+                      "sparse %.2f%% time: %.1f s"
+                      % (epoch + 1, train_loss, train_auc, train_prauc, train_rce,
+                         rep["sparsity_pct"], time.time() - epoch_begin))
+            if is_valid:
+                vl, va, vp, vr = self.eval_by_batch(Xi_valid, Xv_valid, y_valid)
+                self.valid_result.append(va)
+                self._log("Validation [%d] loss: %.6f metric: %.6f prauc: %.4f rce: %.2f "
+                          "sparse %.2f%% time: %.1f s"
+                          % (epoch + 1, vl, va, vp, vr, rep["sparsity_pct"],
+                             time.time() - epoch_begin))
+            self._log("*" * 50)
+
+            Xi_train, Xv_train, y_train = batching.shuffle_arrays(
+                rng_np, Xi_train, Xv_train, y_train)
+
+            if save_path:
+                self.save(save_path, epoch=epoch)
+            if is_valid and early_stopping and self.training_termination(self.valid_result):
+                self._log("early stop at [%d] epoch!" % (epoch + 1))
+                break
+
+        if do_prune:
+            counts = deepfwfm.param_group_counts(self.params, self.mcfg, nonzero=True)
+            self._log("========")
+            self._log(f"Number of pruned 1st order embeddings: {counts['first_order_embeddings']:,}")
+            self._log(f"Number of pruned 2nd order embeddings: {counts['second_order_embeddings']:,}")
+            self._log(f"Number of pruned 2nd order interactions: {counts['field_cov_nonzero_sym']:,}")
+            self._log(f"Number of pruned DNN parameters: {counts['dnn']:,}")
+            self._log(f"Number of pruned total parameters: {counts['total']:,}")
+            self._log(f"Non pruned model parameters: \t{num_total_original:,}")
+            self._log(f"Pruned Parameters: \t{num_total_original - counts['total']:,}")
+            self._log("========")
+        return self
+
+    # ------------------------------------------------------------------ eval
+
+    def _predict_logits(self, Xi: np.ndarray, Xv: np.ndarray,
+                        batch_size: Optional[int] = None) -> np.ndarray:
+        """Batched forward → host logits (eval mode, padded tail)."""
+        bs = batch_size or (self.tcfg.eval_batch_size * (2 if self.mcfg.use_ffm else 1))
+        Xi = np.asarray(Xi, dtype=np.int32).reshape(-1, self.mcfg.num_categorical)
+        Xv = np.asarray(Xv, dtype=np.float32)
+        out = []
+        dummy_y = np.zeros(Xi.shape[0], dtype=np.float32)
+        for batch in batching.iter_batches(Xi, Xv, dummy_y, bs):
+            logits = self.eval_fn(self.params, jnp.asarray(batch["xi"]),
+                                  jnp.asarray(batch["xv"]))
+            out.append(np.asarray(logits)[: batch["n_valid"]])
+        return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+    def eval_by_batch(self, Xi, Xv, y) -> Tuple[float, float, float, float]:
+        """(logloss, AUC, PRAUC, RCE) — reference ``eval_by_batch`` ``:750-784``."""
+        y = np.asarray(y, dtype=np.float64).ravel()
+        logits = self._predict_logits(Xi, Xv).astype(np.float64)
+        pred = 1.0 / (1.0 + np.exp(-logits))
+        loss = M.bce_logits_sum(y, logits) / max(len(y), 1)
+        return (loss, M.roc_auc(y, pred), M.prauc(pred, y), M.rce(pred, y))
+
+    # ------------------------------------------------- prediction API parity
+
+    def predict(self, Xi, Xv) -> np.ndarray:
+        return self.predict_proba(Xi, Xv) > 0.5
+
+    def predict_proba(self, Xi, Xv) -> np.ndarray:
+        logits = self._predict_logits(Xi, Xv).astype(np.float64)
+        return 1.0 / (1.0 + np.exp(-logits))
+
+    inner_predict = predict
+    inner_predict_proba = predict_proba
+
+    def evaluate(self, Xi, Xv, y) -> float:
+        return M.roc_auc(np.asarray(y, np.float64).ravel(), self.predict_proba(Xi, Xv))
+
+    def training_termination(self, valid_result) -> bool:
+        """3 consecutive declines (reference ``:834-846``)."""
+        if len(valid_result) > 4:
+            if self.tcfg.greater_is_better:
+                return (valid_result[-1] < valid_result[-2]
+                        and valid_result[-2] < valid_result[-3]
+                        and valid_result[-3] < valid_result[-4])
+            return (valid_result[-1] > valid_result[-2]
+                    and valid_result[-2] > valid_result[-3]
+                    and valid_result[-3] > valid_result[-4])
+        return False
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: str, epoch: int = 0):
+        ckpt.save_checkpoint(path, self.params, self.opt_state, step=self._step,
+                             epoch=epoch, metadata={
+                                 "model": self.mcfg.model_name,
+                                 "field_size": self.mcfg.field_size,
+                                 "sparse": self.tcfg.sparse,
+                                 "seed": self.tcfg.random_seed})
+
+    def load(self, path: str, strict: bool = True):
+        if self.params is None:
+            self.init_params()
+        self.params, _, meta = ckpt.load_checkpoint(path, self.params, strict=strict)
+        self._step = meta.get("step", 0)
+        return self
+
+    def print_size_of_model(self) -> int:
+        size = ckpt.model_size_bytes(self.params)
+        self._log("========")
+        self._log("MODEL SIZE")
+        self._log("\tSize (MB):\t" + str(size / 1e6))
+        counts = deepfwfm.param_group_counts(self.params, self.mcfg, nonzero=True)
+        orig = deepfwfm.param_group_counts(self.params, self.mcfg, nonzero=False)
+        self._log(f"\tSummation of feature sizes: {sum(self.mcfg.feature_sizes):,}")
+        self._log(f"\tNumber of 1st order embeddings: {counts['first_order_embeddings']:,}")
+        self._log(f"\tNumber of 2nd order embeddings: {counts['second_order_embeddings']:,}")
+        if self.mcfg.use_fwfm:
+            self._log(f"\tNumber of 2nd order interactions: {counts['field_cov_nonzero_sym']:,}")
+        if self.mcfg.use_deep:
+            self._log(f"\tNumber of DNN parameters: {counts['dnn']:,}")
+        self._log(f"\tNumber of total parameters: {counts['total']:,}")
+        self._log(f"\tNon pruned model parameters: \t{orig['total']:,}")
+        self._log(f"\tPruned Parameters: \t{orig['total'] - counts['total']:,}")
+        self._log("========")
+        return size
