@@ -1,0 +1,65 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.ops import interactions as inter_ops
+from xsdeepfwfm_deprecated_tpu.ops import quantized as q_ops
+from xsdeepfwfm_deprecated_tpu.ops.pallas.fwfm import fwfm_second_order_pallas
+from xsdeepfwfm_deprecated_tpu.ops.pallas.int8_mlp import (int8_mlp_pallas,
+                                                           pack_quantized_deep)
+
+B, F, E = 256, 39, 10
+
+
+@pytest.fixture(scope="module")
+def fwfm_case(rng):
+    emb = jnp.asarray(rng.normal(size=(B, F, E)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(F, F)).astype(np.float32))
+    return emb, r
+
+
+def test_fwfm_pallas_matches_xla(fwfm_case):
+    emb, r = fwfm_case
+    want = np.asarray(inter_ops.fwfm_second_order(emb, r))
+    got = np.asarray(fwfm_second_order_pallas(emb, r, block_b=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fwfm_pallas_multi_tile(fwfm_case):
+    emb, r = fwfm_case
+    want = np.asarray(inter_ops.fwfm_second_order(emb, r))
+    got = np.asarray(fwfm_second_order_pallas(emb, r, block_b=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_int8_mlp_pallas_matches_reference_path():
+    from xsdeepfwfm_deprecated_tpu.ops import mlp as mlp_ops
+    net = mlp_ops.init_mlp(jax.random.PRNGKey(0), 64, [32, 32], head_scale=0.1)
+    # dedicated generator: the two int8 paths use different activation-scale
+    # granularity (per-tile vs global), so the comparison must be on fixed data
+    local_rng = np.random.default_rng(7)
+    x = jnp.asarray(local_rng.normal(size=(128, 64)).astype(np.float32))
+
+    layers_q = []
+    for layer in net["layers"]:
+        w_q, w_s = q_ops.quantize_symmetric(layer["w"], axis=1)
+        layers_q.append((w_q, w_s.reshape(-1), layer["b"]))
+    fc_q, fc_s = q_ops.quantize_symmetric(net["fc_w"], axis=1)
+
+    got = np.asarray(int8_mlp_pallas(x, tuple(layers_q), (fc_q, fc_s.reshape(-1)),
+                                     block_b=64, interpret=True))
+
+    # unfused int8 path as reference
+    h = x
+    for (w_q, w_s, b) in layers_q:
+        h = jax.nn.relu(q_ops.quantized_dense(h, w_q, w_s, b))
+    want = np.asarray(q_ops.quantized_dense(h, fc_q, fc_s.reshape(-1), None))
+    # both paths quantize activations dynamically; tiles differ in max-scale
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+    # and both track the fp32 model closely
+    fp = np.asarray(mlp_ops.mlp_forward(net, x, dropout_rates=(0, 0, 0), train=False))
+    assert np.corrcoef(got.ravel(), fp.ravel())[0, 1] > 0.999

@@ -1,0 +1,82 @@
+"""Pruning-engine tests: thresholds, groups, adaptive schedule."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.compression import pruning
+from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
+from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+
+
+def test_magnitude_threshold_matches_bisection():
+    """quantile threshold ≡ the reference's bisection (:807-823) semantics."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(1000,)).astype(np.float32))
+    for target in [0.1, 0.5, 0.9]:
+        thr = float(pruning.magnitude_threshold(w, jnp.float32(target)))
+        frac_below = float(jnp.mean(jnp.abs(w) < thr))
+        assert abs(frac_below - target) < 0.01
+
+
+def test_apply_threshold():
+    w = jnp.asarray([-0.5, 0.01, 0.3, -0.02])
+    out = np.asarray(pruning.apply_threshold(w, jnp.float32(0.1)))
+    np.testing.assert_allclose(out, [-0.5, 0.0, 0.3, 0.0], atol=1e-7)
+
+
+@pytest.fixture
+def dfm_params():
+    cfg = ModelConfig(field_size=4, feature_sizes=(1, 50, 60, 70), numerical=1,
+                      embedding_size=8, h_depth=2, deep_nodes=32,
+                      use_fwfm=True, use_deep=True, use_fwlw=True)
+    return cfg, deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_prune_groups(dfm_params):
+    cfg, params = dfm_params
+    pruned = pruning.prune_params(params, jnp.float32(0.6), prune_fm=True,
+                                  prune_deep=True, prune_r=True)
+    # group (a): packed emb2 globally ~60% sparse
+    emb = np.asarray(pruned["emb2"]["dense"])
+    assert abs(np.mean(emb == 0) - 0.6) < 0.02
+    # group (b): each DNN layer ~60% sparse; biases untouched; fc untouched
+    for i, layer in enumerate(pruned["deep"]["net_1"]["layers"]):
+        assert abs(float(jnp.mean(layer["w"] == 0)) - 0.6) < 0.05, f"layer {i}"
+        assert float(jnp.mean(layer["b"] == 0)) < 0.2
+    assert float(jnp.mean(pruned["deep"]["net_1"]["fc_w"] == 0)) == 0.0
+    # fwlw pruned too (reference name-filter includes fwfm_linear)
+    assert float(jnp.mean(pruned["fwlw_w"] == 0)) > 0.3
+    # group (c): R pruned on symmetrized magnitude
+    assert float(jnp.mean(pruned["field_cov"] == 0)) > 0.3
+    # 1st-order embeddings never pruned
+    np.testing.assert_array_equal(np.asarray(pruned.get("emb1", {"dense": jnp.zeros(1)})["dense"] if "emb1" in pruned else 0),
+                                  np.asarray(params.get("emb1", {"dense": jnp.zeros(1)})["dense"] if "emb1" in params else 0))
+
+
+def test_group_ratios(dfm_params):
+    cfg, params = dfm_params
+    pruned = pruning.prune_params(params, jnp.float32(0.5), emb_r=0.5, emb_corr=2.0,
+                                  prune_fm=True, prune_deep=False, prune_r=True)
+    emb = np.asarray(pruned["emb2"]["dense"])
+    assert abs(np.mean(emb == 0) - 0.25) < 0.03         # 0.5 * emb_r(0.5)
+    r = np.asarray(pruned["field_cov"])
+    assert np.mean(r == 0) > 0.8                         # 0.5 * emb_corr(2.0) → clipped 1.0
+
+
+def test_adaptive_schedule():
+    tc = TrainConfig(sparse=0.9)
+    assert tc.adaptive_sparse(0) == 0.0
+    assert tc.adaptive_sparse(100) == pytest.approx(0.9 * (1 - 0.99), rel=1e-6)
+    assert tc.adaptive_sparse(100000) == pytest.approx(0.9, abs=1e-4)
+
+
+def test_sparsity_report(dfm_params):
+    _, params = dfm_params
+    rep = pruning.sparsity_report(params)
+    assert rep["sparsity_pct"] == pytest.approx(0.0, abs=0.1)
+    pruned = pruning.prune_params(params, jnp.float32(0.9), prune_fm=True,
+                                  prune_deep=True, prune_r=True)
+    rep2 = pruning.sparsity_report(pruned)
+    assert rep2["sparsity_pct"] > 40

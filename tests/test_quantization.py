@@ -1,0 +1,112 @@
+"""Quantization tests: primitives, converted-model accuracy, QAT fake-quant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.compression import quantization as Q
+from xsdeepfwfm_deprecated_tpu.config import ModelConfig
+from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+from xsdeepfwfm_deprecated_tpu.ops import quantized as q_ops
+
+
+def test_quantize_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q, s = q_ops.quantize_symmetric(x)
+    back = q_ops.dequantize(q, s)
+    assert float(jnp.max(jnp.abs(back - x))) < float(s) * 0.51
+
+
+def test_quantize_per_channel():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray((rng.normal(size=(16, 8)) * np.arange(1, 9)).astype(np.float32))
+    q, s = q_ops.quantize_symmetric(w, axis=1)
+    assert s.shape == (1, 8)
+    back = np.asarray(q.astype(jnp.float32) * s)
+    assert np.abs(back - np.asarray(w)).max() < float(s.max()) * 0.51
+
+
+def test_int8_matmul_close_to_fp32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    wq, ws = q_ops.quantize_symmetric(w, axis=1)
+    out = q_ops.quantized_dense(x, wq, ws.reshape(-1), None)
+    ref = x @ w
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_embedding_row_quant():
+    rng = np.random.default_rng(2)
+    t = jnp.asarray((rng.normal(size=(100, 10)) * 0.01).astype(np.float32))
+    qt = q_ops.quantize_embedding_rows(t)
+    idx = jnp.asarray([[0, 5], [99, 50]])
+    got = q_ops.gather_dequant(qt, idx)
+    want = jnp.take(t, idx, axis=0)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-3
+
+
+def test_fake_quant_ste():
+    x = jnp.asarray([0.11, -0.5, 0.33])
+    scale = jnp.float32(0.1)
+    out = q_ops.fake_quant(x, scale)
+    np.testing.assert_allclose(np.asarray(out), [0.1, -0.5, 0.3], atol=1e-6)
+    g = jax.grad(lambda a: jnp.sum(q_ops.fake_quant(a, scale) ** 2))(x)
+    # straight-through: grad flows as if identity (2*fq(x) * 1)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(out), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def trained_like_model():
+    cfg = ModelConfig(field_size=5, feature_sizes=(1, 1, 40, 50, 60), numerical=2,
+                      embedding_size=8, h_depth=2, deep_nodes=64,
+                      use_fwfm=True, use_deep=True, use_lw=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    xi = rng.integers(0, [40, 50, 60], size=(512, 3)).astype(np.int32)
+    xv = rng.normal(size=(512, 2)).astype(np.float32)
+    return cfg, params, jnp.asarray(xi), jnp.asarray(xv)
+
+
+def test_dynamic_quantized_forward_close(trained_like_model):
+    cfg, params, xi, xv = trained_like_model
+    fp = np.asarray(deepfwfm.forward(params, xi, xv, cfg))
+    qm = Q.convert(params, cfg, mode="dynamic")
+    qout = np.asarray(Q.quantized_forward(qm, xi, xv))
+    # int8 model tracks fp32 logits closely (reference: quantization does not
+    # change AUC at 4 significant digits, data/results/criteo.md:8)
+    assert np.abs(qout - fp).max() < 0.15
+    assert np.corrcoef(qout, fp)[0, 1] > 0.999
+
+
+def test_static_quantized_forward_close(trained_like_model):
+    cfg, params, xi, xv = trained_like_model
+    fp = np.asarray(deepfwfm.forward(params, xi, xv, cfg))
+    scales = Q.calibrate(params, cfg, np.asarray(xi), np.asarray(xv),
+                         n_batches=2, batch_size=128)
+    qm = Q.convert(params, cfg, mode="static", act_scales=scales)
+    qout = np.asarray(Q.quantized_forward(qm, xi, xv))
+    assert np.abs(qout - fp).max() < 0.2
+    assert np.corrcoef(qout, fp)[0, 1] > 0.999
+
+
+def test_quantized_model_smaller(trained_like_model):
+    cfg, params, *_ = trained_like_model
+    from xsdeepfwfm_deprecated_tpu.train.checkpoint import model_size_bytes
+    qm = Q.convert(params, cfg, mode="dynamic")
+    assert qm.size_bytes() < 0.45 * model_size_bytes(params)
+
+
+def test_qat_forward_runs(trained_like_model):
+    cfg, params, xi, xv = trained_like_model
+    import dataclasses
+    qcfg = dataclasses.replace(cfg, quantization_aware=True)
+    out = deepfwfm.forward(params, xi, xv, qcfg, train=True, rng=jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(out)))
+    # gradient flows through fake-quant
+    g = jax.grad(lambda p: jnp.sum(deepfwfm.forward(p, xi, xv, qcfg, train=False)))(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g["deep"]))
+    assert gnorm > 0

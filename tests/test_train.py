@@ -1,0 +1,122 @@
+"""End-to-end training tests on the bundled tiny-criteo dataset.
+
+The de-facto integration test of the reference is running each model variant
+against tiny-criteo (SURVEY §4); these are the golden-metric versions.
+"""
+
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
+from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+
+
+def small_cfgs(train, field_size, **model_kw):
+    tkw = model_kw.pop("train_kw", {})
+    base = dict(use_logit=False, use_fm=False, use_ffm=False, use_fwfm=False,
+                use_deep=False)
+    base.update(model_kw)
+    mcfg = ModelConfig(field_size=field_size,
+                       feature_sizes=tuple(train["feature_sizes"]),
+                       numerical=13, embedding_size=4, h_depth=2, deep_nodes=32,
+                       **base)
+    tbase = dict(n_epochs=2, batch_size=1024, learning_rate=1e-3, random_seed=0)
+    tbase.update(tkw)
+    tcfg = TrainConfig(**tbase)
+    return mcfg, tcfg
+
+
+@pytest.mark.slow
+def test_lr_trains_on_tiny_criteo(tiny_criteo):
+    """LR learns (loss falls, AUC above chance). Absolute numbers are modest:
+    the reference's N(0,1) 1st-order init (model/DeepFMs.py:479), reproduced
+    here, needs far more steps than tiny-criteo's 10k rows provide."""
+    field_size, train, valid, test = tiny_criteo
+    mcfg, tcfg = small_cfgs(train, field_size, use_logit=True, use_deep=False,
+                            train_kw=dict(n_epochs=4, batch_size=512,
+                                          learning_rate=1e-2))
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"], train["value"], train["label"],
+            valid["index"], valid["value"], valid["label"])
+    loss, auc, prauc, rce = est.eval_by_batch(test["index"], test["value"], test["label"])
+    assert auc > 0.53, f"LR AUC {auc} too low"
+    assert est.valid_result[-1] > est.valid_result[0] - 0.02
+
+
+@pytest.mark.slow
+def test_deepfwfm_trains_on_tiny_criteo(tiny_criteo):
+    field_size, train, valid, test = tiny_criteo
+    mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                            use_lw=True, use_fwlw=True,
+                            train_kw=dict(n_epochs=6, batch_size=512))
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"], train["value"], train["label"],
+            valid["index"], valid["value"], valid["label"])
+    loss, auc, prauc, rce = est.eval_by_batch(test["index"], test["value"], test["label"])
+    assert auc > 0.66, f"DeepFwFM AUC {auc} too low"
+    assert len(est.train_result) == 6 and len(est.valid_result) == 6
+
+
+@pytest.mark.slow
+def test_pruned_training_reaches_target_sparsity(tiny_criteo):
+    field_size, train, _, _ = tiny_criteo
+    # prune_omega=1 compresses the adaptive schedule s_t = S(1-0.99^(t/Ω))
+    # so a 2-epoch test reaches visible sparsity (at the default Ω=100 the
+    # reference schedule needs thousands of iterations, paper §5.3)
+    mcfg, tcfg = small_cfgs(
+        train, field_size, use_fwfm=True, use_deep=True,
+        train_kw=dict(prune=True, prune_fm=True, prune_deep=True, prune_r=True,
+                      sparse=0.5, warm=0, n_epochs=2, batch_size=256,
+                      prune_omega=1.0))
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"][:4096], train["value"][:4096], train["label"][:4096], [], [], [])
+    import jax.numpy as jnp
+    # DNN hidden layers should be visibly sparse after the adaptive schedule
+    w = est.params["deep"]["net_1"]["layers"][1]["w"]
+    frac_zero = float(jnp.mean(w == 0))
+    assert frac_zero > 0.05, f"expected pruning to zero weights, got {frac_zero}"
+    emb_zero = float(jnp.mean(est.params["emb2"]["dense"] == 0))
+    assert emb_zero > 0.05, f"expected emb pruning, got {emb_zero}"
+
+
+def test_early_stopping_logic():
+    mcfg = ModelConfig(field_size=2, feature_sizes=(1, 3), numerical=1,
+                       use_logit=True, use_fwfm=False, use_deep=False)
+    est = DeepFMEstimator(mcfg, TrainConfig())
+    assert not est.training_termination([0.5, 0.6, 0.55, 0.54])
+    assert est.training_termination([0.5, 0.6, 0.59, 0.58, 0.57])
+    assert not est.training_termination([0.5, 0.6, 0.59, 0.60, 0.57])
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path, tiny_criteo):
+    field_size, train, _, _ = tiny_criteo
+    mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                            train_kw=dict(n_epochs=1))
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"][:2048], train["value"][:2048], train["label"][:2048], [], [], [],
+            save_path=str(tmp_path / "ck"))
+    preds = est.predict_proba(train["index"][:256], train["value"][:256])
+
+    est2 = DeepFMEstimator(mcfg, tcfg)
+    est2.load(str(tmp_path / "ck"))
+    preds2 = est2.predict_proba(train["index"][:256], train["value"][:256])
+    np.testing.assert_allclose(preds, preds2, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_kd_student_trains(tiny_criteo):
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    mcfg_t, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                              train_kw=dict(n_epochs=1))
+    teacher = DeepFMEstimator(mcfg_t, tcfg)
+    teacher.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+
+    mcfg_s, tcfg_s = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                                train_kw=dict(n_epochs=1))
+    student = DeepFMEstimator(mcfg_s, tcfg_s)
+    student.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [],
+                teacher_model=teacher)
+    p = student.predict_proba(train["index"][:100], train["value"][:100])
+    assert np.all(np.isfinite(p)) and p.shape == (100,)

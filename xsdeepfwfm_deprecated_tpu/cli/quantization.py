@@ -1,0 +1,108 @@
+"""Quantization CLI — counterpart of the reference ``quantization.py`` driver.
+
+Three modes on a trained checkpoint (``-save_model_path``):
+
+* ``-dynamic_quantization 1``  — int8 deep-tower weights, per-batch activation
+  scales (reference ``quantization.py:48-64``);
+* ``-static_quantization 1``   — calibration over 5 × batch_size train rows →
+  fixed activation scales, weight-only int8 embeddings (reference ``:72-114``);
+* ``-quantization_aware 1``    — QAT training run with fake-quant, converted
+  on eval (reference ``:118-147``).
+
+Each mode benchmarks the original and quantized model and saves the quantized
+artifact under the reference's ``_dynamic_quant`` / ``_static_quant`` /
+``_quant_aware`` suffixes.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..compression import quantization as Q
+from ..config import get_parser
+from ..data.datasets import get_dataset
+from ..models.factory import get_model
+from ..serving.benchmark import run_benchmark
+from ..serving.predictor import Predictor
+from ..train import checkpoint as ckpt
+from ..utils.logging import get_logger
+
+
+def _save_quantized(qm: Q.QuantizedModel, path: str):
+    import jax
+    arrays = {}
+    for name, tree in (("params_fp", qm.params_fp), ("emb1_q", qm.emb1_q),
+                       ("emb2_q", qm.emb2_q), ("deep_q", qm.deep_q),
+                       ("act_scales", qm.act_scales)):
+        if tree is None:
+            continue
+        for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = name + "::" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in p)
+            arrays[key] = np.asarray(leaf)
+    np.savez(path + ".npz", **arrays)
+
+
+def main(argv=None):
+    pars = get_parser().parse_args(argv)
+    logger = get_logger("Quantization")
+    logger.info(pars)
+
+    field_size, train_dict, valid_dict, test_dict = get_dataset(
+        pars.dataset, twitter_category=pars.twitter_category)
+
+    if not pars.save_model_path or pars.save_model_path in ("0", 0):
+        logger.info("no model path given: -save_model_path")
+        sys.exit(1)
+
+    model = get_model(field_size=field_size, feature_sizes=train_dict["feature_sizes"],
+                      pars=pars, logger=logger)
+    model.load(pars.save_model_path, strict=not pars.prune)
+
+    logger.info("Original model:")
+    model.print_size_of_model()
+    model.run_benchmark(test_dict["index"], test_dict["value"], test_dict["label"])
+
+    if pars.dynamic_quantization:
+        qm = Q.convert(model.params, model.mcfg, mode="dynamic")
+        logger.info("Dynamic Quantization model:")
+        logger.info("\tSize (MB):\t" + str(qm.size_bytes() / 1e6))
+        run_benchmark(Predictor(qm), test_dict["index"], test_dict["value"],
+                      test_dict["label"], logger=logger)
+        _save_quantized(qm, pars.save_model_path + "_dynamic_quant")
+
+    if pars.static_quantization:
+        calib = model.tcfg.batch_size * 5      # reference :94
+        xi = np.asarray(train_dict["index"][:calib], np.int32)
+        xv = np.asarray(train_dict["value"][:calib], np.float32)
+        scales = Q.calibrate(model.params, model.mcfg, xi, xv,
+                             n_batches=5, batch_size=model.tcfg.batch_size)
+        logger.info("Post Static Quantization: Calibration done")
+        qm = Q.convert(model.params, model.mcfg, mode="static", act_scales=scales)
+        logger.info("Post Static Quantization model:")
+        logger.info("\tSize (MB):\t" + str(qm.size_bytes() / 1e6))
+        run_benchmark(Predictor(qm), test_dict["index"], test_dict["value"],
+                      test_dict["label"], logger=logger)
+        _save_quantized(qm, pars.save_model_path + "_static_quant")
+
+    if pars.quantization_aware:
+        qat_model = get_model(field_size=field_size,
+                              feature_sizes=train_dict["feature_sizes"],
+                              pars=pars, logger=logger, quantization_aware=True)
+        qat_model.fit(train_dict["index"], train_dict["value"], train_dict["label"],
+                      valid_dict["index"], valid_dict["value"], valid_dict["label"],
+                      prune=bool(pars.prune), prune_fm=bool(pars.prune_fm),
+                      prune_r=bool(pars.prune_r), prune_deep=bool(pars.prune_deep),
+                      emb_r=pars.emb_r, emb_corr=pars.emb_corr)
+        qat_model.save(pars.save_model_path + "_quant_aware")
+        logger.info("Quantization Aware model:")
+        qm = Q.convert(qat_model.params, qat_model.mcfg, mode="qat")
+        logger.info("\tSize (MB):\t" + str(qm.size_bytes() / 1e6))
+        run_benchmark(Predictor(qm), test_dict["index"], test_dict["value"],
+                      test_dict["label"], logger=logger)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Serving predictor: warm jitted forward over fp32 / pruned / int8 models.
+
+The serving-time counterpart of the reference's estimator prediction API
+(``model/DeepFMs.py:848-903``), factored out of the trainer so a model can be
+loaded from a checkpoint and served without any training machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compression.quantization import QuantizedModel, quantized_forward
+from ..config import ModelConfig
+from ..models import deepfwfm
+
+
+class Predictor:
+    """Holds (params | QuantizedModel) + a compiled forward; batch or single-example."""
+
+    def __init__(self, model: Union[Dict, QuantizedModel], cfg: Optional[ModelConfig] = None):
+        if isinstance(model, QuantizedModel):
+            self.cfg = model.cfg
+            self._model = model
+            self._fn = jax.jit(lambda xi, xv: quantized_forward(model, xi, xv))
+        else:
+            assert cfg is not None, "fp32 params need an explicit ModelConfig"
+            self.cfg = cfg
+            self._model = model
+            self._fn = jax.jit(lambda xi, xv: deepfwfm.forward(model, xi, xv, cfg))
+
+    def logits(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fn(jnp.asarray(xi, jnp.int32), jnp.asarray(xv, jnp.float32)))
+
+    def predict_proba(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-self.logits(xi, xv).astype(np.float64)))
+
+    def predict(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
+        return self.predict_proba(xi, xv) > 0.5
+
+    def warmup(self, batch_sizes=(1, 8192)):
+        """Pre-compile for the serving batch shapes."""
+        c = self.cfg.num_categorical
+        n = self.cfg.numerical
+        for b in batch_sizes:
+            xi = np.zeros((b, c), np.int32)
+            xv = np.zeros((b, n), np.float32)
+            jax.block_until_ready(self._fn(jnp.asarray(xi), jnp.asarray(xv)))
+        return self

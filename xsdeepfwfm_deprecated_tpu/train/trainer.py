@@ -60,12 +60,14 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
-                    optimizer: optax.GradientTransformation, *, use_kd: bool = False):
+                    optimizer: optax.GradientTransformation, *, use_kd: bool = False,
+                    forward_fn=None):
     """Build the jitted train step. Masked mean-BCE matches the reference's
     per-batch ``binary_cross_entropy_with_logits`` mean on unpadded batches."""
+    forward_fn = forward_fn or deepfwfm.forward
 
     def loss_fn(params, xi, xv, y, mask, rng, teacher_logits):
-        logits = deepfwfm.forward(params, xi, xv, mcfg, train=True, rng=rng)
+        logits = forward_fn(params, xi, xv, mcfg, train=True, rng=rng)
         if use_kd:
             return kd_loss(logits, teacher_logits, y, mask,
                            alpha=tcfg.kd_alpha, temperature=tcfg.kd_temperature)
@@ -82,15 +84,24 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
     return train_step
 
 
-def make_eval_fn(mcfg: ModelConfig):
+def make_eval_fn(mcfg: ModelConfig, forward_fn=None):
+    forward_fn = forward_fn or deepfwfm.forward
+
     @jax.jit
     def eval_fn(params, xi, xv):
-        return deepfwfm.forward(params, xi, xv, mcfg, train=False)
+        return forward_fn(params, xi, xv, mcfg, train=False)
     return eval_fn
 
 
 class DeepFMEstimator:
-    """sklearn-estimator-shaped wrapper (reference ``DeepFMs`` public surface)."""
+    """sklearn-estimator-shaped wrapper (reference ``DeepFMs`` public surface).
+
+    Subclasses (e.g. :class:`..models.nfm.NFMEstimator`) swap the model family
+    by overriding ``model_forward`` / ``model_init``.
+    """
+
+    model_forward = staticmethod(deepfwfm.forward)
+    model_init = staticmethod(deepfwfm.init_params)
 
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  logger=None):
@@ -112,13 +123,16 @@ class DeepFMEstimator:
 
     def init_params(self, seed: Optional[int] = None) -> Dict:
         key = jax.random.PRNGKey(self.tcfg.random_seed if seed is None else seed)
-        self.params = deepfwfm.init_params(key, self.mcfg)
+        # one jitted init → ONE compile instead of one dispatch per tensor
+        # (matters on remote-compile TPU attachments where each compile is slow)
+        init = jax.jit(lambda k: type(self).model_init(k, self.mcfg))
+        self.params = init(key)
         return self.params
 
     @property
     def eval_fn(self):
         if self._eval_fn is None:
-            self._eval_fn = make_eval_fn(self.mcfg)
+            self._eval_fn = make_eval_fn(self.mcfg, type(self).model_forward)
         return self._eval_fn
 
     # ------------------------------------------------------------------- fit
@@ -158,7 +172,8 @@ class DeepFMEstimator:
         optimizer = make_optimizer(tc)
         self.opt_state = optimizer.init(self.params)
         use_kd = teacher_model is not None
-        train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd)
+        train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
+                                     forward_fn=type(self).model_forward)
 
         counts = deepfwfm.param_group_counts(self.params, self.mcfg)
         self._log("========")
@@ -349,3 +364,24 @@ class DeepFMEstimator:
         self._log(f"\tPruned Parameters: \t{orig['total'] - counts['total']:,}")
         self._log("========")
         return size
+
+
+def _estimator_run_benchmark(self, Xi, Xv, y, batch_size: int = 8192,
+                             cuda: bool = False, quantization_aware: bool = False,
+                             trace_dir: str = None):
+    """Reference ``run_benchmark`` parity (``model/DeepFMs.py:947-1009``):
+    quality metrics + profiler trace + batch timing + 1-example latency.
+    ``cuda`` is accepted for API compatibility and ignored (TPU build)."""
+    from ..serving.benchmark import run_benchmark as _rb
+    from ..serving.predictor import Predictor
+    if quantization_aware or self.mcfg.quantization_aware:
+        # QAT: convert to a true int8 model for eval (reference :751-755,:968-971)
+        from ..compression.quantization import convert
+        predictor = Predictor(convert(self.params, self.mcfg, mode="qat"))
+    else:
+        predictor = Predictor(self.params, self.mcfg)
+    return _rb(predictor, Xi, Xv, y, batch_size=batch_size,
+               trace_dir=trace_dir, logger=self.logger)
+
+
+DeepFMEstimator.run_benchmark = _estimator_run_benchmark
