@@ -104,6 +104,7 @@ def forward(params: Dict, xi: jax.Array, xv: jax.Array, cfg: ModelConfig, *,
     packed-table gather (e.g. the row-sharded all-to-all lookup in
     :mod:`..parallel.embedding_sharding`).
     """
+    from ..utils import profiling as prof
     spec = make_embedding_spec(cfg)
     lookup = lookup_fn or emb_ops.packed_lookup
     b = xi.shape[0]
@@ -114,20 +115,26 @@ def forward(params: Dict, xi: jax.Array, xv: jax.Array, cfg: ModelConfig, *,
     emb2 = None
 
     if cfg.use_logit or cfg.use_fm or cfg.use_fwfm:
+        # profiler span names match the reference (model/DeepFMs.py:294-395)
         if not cfg.use_fwlw:
-            first_order = lookup(params["emb1"], spec, xi, xv)[..., 0]  # (B, F)
+            with jax.named_scope(prof.SCOPE_FM):
+                first_order = lookup(params["emb1"], spec, xi, xv)[..., 0]  # (B, F)
             first_order = mlp_ops.dropout(rngs[0], first_order, cfg.dropout_shallow[0],
                                           train and cfg.is_shallow_dropout)
         if cfg.use_fm or cfg.use_fwfm:
-            emb2 = lookup(params["emb2"], spec, xi, xv)                 # (B, F, E)
+            with jax.named_scope(prof.SCOPE_FM):
+                emb2 = lookup(params["emb2"], spec, xi, xv)             # (B, F, E)
             if cfg.use_fwlw:
-                first_order = inter_ops.fwfm_linear_term(emb2, params["fwlw_w"])       # (B, F)
+                with jax.named_scope(prof.SCOPE_FWLW):
+                    first_order = inter_ops.fwfm_linear_term(emb2, params["fwlw_w"])   # (B, F)
                 first_order = mlp_ops.dropout(rngs[0], first_order, cfg.dropout_shallow[0],
                                               train and cfg.is_shallow_dropout)
             if cfg.use_fm:
-                second_order = inter_ops.fm_second_order(emb2)
+                with jax.named_scope(prof.SCOPE_OUTER_FM):
+                    second_order = inter_ops.fm_second_order(emb2)
             else:
-                second_order = inter_ops.fwfm_second_order(emb2, params["field_cov"])
+                with jax.named_scope(prof.SCOPE_OUTER_FWFM):
+                    second_order = inter_ops.fwfm_second_order(emb2, params["field_cov"])
             second_order = mlp_ops.dropout(rngs[1], second_order, cfg.dropout_shallow[1],
                                            train and cfg.is_shallow_dropout)
 
@@ -153,10 +160,11 @@ def forward(params: Dict, xi: jax.Array, xv: jax.Array, cfg: ModelConfig, *,
         rates = (cfg.dropout_deep,) * (cfg.h_depth + 1) if cfg.is_deep_dropout else (0.0,) * (cfg.h_depth + 1)
         deep_fn = (mlp_ops.qat_mlp_forward if cfg.quantization_aware
                    else mlp_ops.mlp_forward)
-        for nidx in range(1, cfg.num_deeps + 1):
-            out = deep_fn(params["deep"][f"net_{nidx}"], deep_in,
-                          dropout_rates=rates, train=train, rng=rngs[2])
-            x_deep = out  # reference keeps only the last net (:430-433)
+        with jax.named_scope(prof.SCOPE_DEEP):
+            for nidx in range(1, cfg.num_deeps + 1):
+                out = deep_fn(params["deep"][f"net_{nidx}"], deep_in,
+                              dropout_rates=rates, train=train, rng=rngs[2])
+                x_deep = out  # reference keeps only the last net (:430-433)
 
     # --- logit assembly (reference :445-467) -------------------------------
     if (cfg.use_fm or cfg.use_fwfm) and cfg.use_lw:
