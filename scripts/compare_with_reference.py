@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Golden parity check: run the REFERENCE torch implementation and this
+framework on identical tiny-criteo data/config, and compare metric
+trajectories.
+
+The reference is executed in-place from ``/root/reference`` (read-only) via a
+scratch working directory holding symlinks to its sources plus the regenerated
+``data/category_emb`` feature map (missing from the snapshot — see
+``.MISSING_LARGE_BLOBS``). Nothing is copied into this repository.
+
+Initialization RNGs differ across frameworks, so metrics are compared as
+distributions, not bit-exact: after N identical epochs both implementations
+should land within a tolerance band on train/valid logloss + AUC.
+
+Usage: python scripts/compare_with_reference.py [--epochs 2] [--rows 10000]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+
+REF_RUNNER = r'''
+import json, sys, os
+import numpy as np, random, torch
+sys.path.insert(0, {ref!r})
+os.chdir({workdir!r})
+torch.set_num_threads(4)
+
+np.random.seed(42); random.seed(42); torch.manual_seed(42)
+
+from utils import data_preprocess
+from model import DeepFMs
+import logging
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("ref")
+
+num_set = set(range(1, 14))
+train = data_preprocess.read_data('./data/tiny_train_input.csv', './data/category_emb', num_set, feature_dim_start=0, dim=39)
+test = data_preprocess.read_data('./data/tiny_test_input.csv', './data/category_emb', num_set, feature_dim_start=0, dim=39)
+rows = {rows}
+for k in ('label','index','value'):
+    train[k] = train[k][:rows]
+
+model = DeepFMs.DeepFMs(field_size=39, feature_sizes=train['feature_sizes'],
+    embedding_size={emb}, n_epochs={epochs}, verbose=False, use_cuda=False,
+    use_fm=False, use_fwfm=True, use_ffm=False, use_deep=True, use_lw=True,
+    use_fwlw=True, use_logit=0, batch_size={batch}, learning_rate=1e-3,
+    weight_decay=3e-7, momentum=0, sparse=0.9, warm=10, h_depth={depth},
+    deep_nodes={nodes}, num_deeps=1, numerical=13, random_seed=42, logger=logger)
+model.fit(train['index'], train['value'], train['label'],
+          test['index'], test['value'], test['label'], early_stopping=False, save_path=None)
+loss, auc, prauc, rce = model.eval_by_batch(
+    np.array(test['index']).reshape((-1, 26, 1)), np.array(test['value']),
+    np.array(test['label']), len(test['label']))
+print("REFJSON " + json.dumps({{"loss": loss, "auc": auc, "prauc": prauc, "rce": rce}}))
+'''
+
+
+def run_reference(workdir, epochs, rows, emb, nodes, depth, batch):
+    os.makedirs(os.path.join(workdir, "data"), exist_ok=True)
+    for f in ("tiny_train_input.csv", "tiny_test_input.csv"):
+        dst = os.path.join(workdir, "data", f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(REFERENCE, "data", f), dst)
+    # regenerate the missing feature map compatible with the reference reader
+    from xsdeepfwfm_deprecated_tpu.data.feature_map import (
+        derive_feature_sizes_from_csv, write_feature_map_stub)
+    sizes = derive_feature_sizes_from_csv(
+        [os.path.join(REFERENCE, "data", "tiny_train_input.csv"),
+         os.path.join(REFERENCE, "data", "tiny_test_input.csv")], 13)
+    write_feature_map_stub(os.path.join(workdir, "data", "category_emb"), sizes, 13)
+
+    code = REF_RUNNER.format(ref=REFERENCE, workdir=workdir, rows=rows,
+                             epochs=epochs, emb=emb, nodes=nodes, depth=depth,
+                             batch=batch)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600,
+                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    for line in out.stdout.splitlines():
+        if line.startswith("REFJSON "):
+            return json.loads(line[len("REFJSON "):])
+    sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
+    raise RuntimeError("reference run produced no result")
+
+
+def run_ours(epochs, rows, emb, nodes, depth, batch):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
+    from xsdeepfwfm_deprecated_tpu.data import get_dataset
+    from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+
+    field_size, train, valid, test = get_dataset("tiny-criteo")
+    mcfg = ModelConfig(field_size=39, feature_sizes=tuple(train["feature_sizes"]),
+                       numerical=13, embedding_size=emb, h_depth=depth,
+                       deep_nodes=nodes, use_logit=False, use_fm=False,
+                       use_ffm=False, use_fwfm=True, use_deep=True,
+                       use_lw=True, use_fwlw=True)
+    tcfg = TrainConfig(n_epochs=epochs, batch_size=batch, learning_rate=1e-3,
+                       weight_decay=3e-7, random_seed=42)
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"][:rows], train["value"][:rows], train["label"][:rows],
+            test["index"], test["value"], test["label"])
+    loss, auc, prauc, rce = est.eval_by_batch(test["index"], test["value"],
+                                              test["label"])
+    return {"loss": loss, "auc": auc, "prauc": prauc, "rce": rce}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--rows", type=int, default=10000)
+    ap.add_argument("--emb", type=int, default=10)
+    ap.add_argument("--nodes", type=int, default=400)
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=512)
+    args = ap.parse_args()
+
+    ours = run_ours(args.epochs, args.rows, args.emb, args.nodes, args.depth,
+                    args.batch)
+    print("ours:     ", json.dumps(ours))
+    with tempfile.TemporaryDirectory() as wd:
+        ref = run_reference(wd, args.epochs, args.rows, args.emb, args.nodes,
+                            args.depth, args.batch)
+    print("reference:", json.dumps(ref))
+    d_auc = abs(ours["auc"] - ref["auc"])
+    d_loss = abs(ours["loss"] - ref["loss"])
+    print(f"delta auc {d_auc:.4f}  delta logloss {d_loss:.4f}")
+    ok = d_auc < 0.03 and d_loss < 0.05
+    print("PARITY OK" if ok else "PARITY DIVERGENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""Offline-preprocessing tests: Criteo pipeline on synthetic raw data."""
+
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.data import preprocess as P
+from xsdeepfwfm_deprecated_tpu.data import readers
+
+
+def test_scale_numeric():
+    # x > 2 → int(log(x)^2) (reference data/large/preprocess_criteo.py:54-60)
+    assert P.scale_numeric(1) == 1
+    assert P.scale_numeric(2) == 2
+    assert P.scale_numeric(100) == float(int(np.log(100) ** 2))
+    assert P.scale_numeric("") == 0.0
+
+
+def test_frequency_maps_cutoff():
+    rows = [["1", "a"], ["1", "a"], ["1", "b"], ["2", "a"], ["2", "c"]]
+    maps = P.build_frequency_maps(rows, n_numeric=1, cutoff=2)
+    assert maps[0] == {"a": 1}          # 'b','c' below cutoff → long tail
+
+
+@pytest.fixture
+def raw_criteo(tmp_path):
+    """Synthetic raw tab-separated criteo: label, 13 ints, 26 cat strings."""
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(400):
+        label = str(rng.integers(0, 2))
+        nums = [str(rng.integers(0, 50)) for _ in range(13)]
+        cats = [f"v{rng.integers(0, 5)}" for _ in range(26)]
+        lines.append("\t".join([label] + nums + cats))
+    p = tmp_path / "train.txt"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_preprocess_criteo_end_to_end(raw_criteo, tmp_path):
+    out = tmp_path / "out"
+    p_train, p_valid, p_test, p_map = P.preprocess_criteo(
+        raw_criteo, str(out), cutoff=4, valid_test_fraction=0.2, seed=0)
+    # outputs load through the standard reader with the emitted feature map
+    d = readers.read_data(p_train, p_map, list(range(1, 14)),
+                          feature_dim_start=1, dim=39)
+    assert d["index"].shape[1] == 26
+    assert d["value"].shape[1] == 13
+    assert len(d["feature_sizes"]) == 39
+    # every index in-bounds for the declared feature sizes
+    for col in range(26):
+        assert d["index"][:, col].max() < d["feature_sizes"][13 + col]
+    # valid/test files exist and are disjoint halves of the tail
+    n_valid = sum(1 for _ in open(p_valid))
+    n_test = sum(1 for _ in open(p_test))
+    assert n_valid + n_test == 80
+    assert abs(n_valid - n_test) < 30
+    # numeric scaling applied (values 0..50 → log² for >2)
+    assert d["value"].max() <= float(int(np.log(50) ** 2)) + 2
+
+
+def test_value_counts_mapping():
+    import pandas as pd
+    df = pd.DataFrame({"c": ["x", "x", "x", "y", "y", "z"]})
+    df2, maps = P.preprocess_value_counts(df.copy(), ["c"], cutoff=2)
+    assert maps["c"]["x"] == 1 and maps["c"]["y"] == 2
+    assert list(df2["c"]) == [1, 1, 1, 2, 2, 0]
+
+
+def test_min_max_scale():
+    import pandas as pd
+    df = pd.DataFrame({"a": [0.0, 5.0, 10.0]})
+    out = P.min_max_scale(df.copy(), ["a"])
+    np.testing.assert_allclose(out["a"], [0.0, 0.5, 1.0])

@@ -120,3 +120,24 @@ def test_kd_student_trains(tiny_criteo):
                 teacher_model=teacher)
     p = student.predict_proba(train["index"][:100], train["value"][:100])
     assert np.all(np.isfinite(p)) and p.shape == (100,)
+
+
+@pytest.mark.slow
+def test_resume_training(tmp_path, tiny_criteo):
+    """Checkpoint → resume continues from the saved epoch with optimizer state."""
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    mcfg, tcfg2 = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                             train_kw=dict(n_epochs=2))
+    est = DeepFMEstimator(mcfg, tcfg2)
+    est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [],
+            save_path=str(tmp_path / "ck"))
+
+    # resume into a 3-epoch schedule: only epoch 3 should run
+    _, tcfg3 = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                          train_kw=dict(n_epochs=3))
+    est2 = DeepFMEstimator(mcfg, tcfg3)
+    est2.init_params()
+    est2.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [],
+             resume_from=str(tmp_path / "ck"))
+    assert len(est2.train_result) == 1  # epochs 0-1 skipped, epoch 2 ran

@@ -51,3 +51,36 @@ def iter_batches(index: np.ndarray, value: np.ndarray, label: np.ndarray,
 
 def pad_batch_count(n: int, batch_size: int) -> int:
     return -(-n // batch_size)
+
+
+def prefetch_to_device(batch_iter, size: int = 2):
+    """Double-buffered device prefetch: overlap H2D transfer with compute.
+
+    The reference pays a synchronous H2D copy per batch
+    (``model/DeepFMs.py:619-623``); here the next batch's transfer is issued
+    while the current step runs. Yields dict batches whose array values are
+    already on the default device.
+    """
+    import collections
+    import jax
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+
+    def put(b):
+        queue.append({k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                      for k, v in b.items()})
+
+    it = iter(batch_iter)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out

@@ -117,9 +117,11 @@ def preprocess_criteo(raw_path: str, out_dir: str, *, cutoff: int = 4,
     write_mapped(p_test, test_rows)
     with open(p_map, "w") as f:
         for field_idx, m in enumerate(maps):
+            # overall 1-based field position (categoricals follow the 13
+            # numerics) to match feature_dim_start=1 readers
+            pos = field_idx + n_numeric + 1
             for raw, idx in m.items():
-                # 1-based field position to match feature_dim_start=1 readers
-                f.write(f"{field_idx + 1},{raw},{idx}\n")
+                f.write(f"{pos},{raw},{idx}\n")
     return p_train, p_valid, p_test, p_map
 
 

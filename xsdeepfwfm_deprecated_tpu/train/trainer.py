@@ -142,10 +142,15 @@ class DeepFMEstimator:
             prune: Optional[bool] = None, prune_fm: Optional[bool] = None,
             prune_r: Optional[bool] = None, prune_deep: Optional[bool] = None,
             emb_r: Optional[float] = None, emb_corr: Optional[float] = None,
-            teacher_model: "DeepFMEstimator" = None) -> "DeepFMEstimator":
+            teacher_model: "DeepFMEstimator" = None,
+            resume_from: Optional[str] = None) -> "DeepFMEstimator":
         """Train. Array-argument layout matches the reference ``fit``
         (``model/DeepFMs.py:497-516``): Xi (N, C[, 1]) int indices of
-        categorical fields, Xv (N, Nnum) float values, y (N,) labels."""
+        categorical fields, Xv (N, Nnum) float values, y (N,) labels.
+
+        ``resume_from``: checkpoint path — restores params + optimizer state +
+        epoch counter and continues training (the reference can only reload
+        weights for inference, ``utils/util.py:45-55``)."""
         tc = self.tcfg
         do_prune = tc.prune if prune is None else bool(prune)
         p_fm = tc.prune_fm if prune_fm is None else bool(prune_fm)
@@ -171,6 +176,13 @@ class DeepFMEstimator:
 
         optimizer = make_optimizer(tc)
         self.opt_state = optimizer.init(self.params)
+        start_epoch = 0
+        if resume_from is not None:
+            self.params, self.opt_state, meta = ckpt.load_checkpoint(
+                resume_from, self.params, self.opt_state)
+            self._step = meta.get("step", 0)
+            start_epoch = meta.get("epoch", -1) + 1
+            self._log(f"resumed from {resume_from} at epoch {start_epoch}")
         use_kd = teacher_model is not None
         train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
                                      forward_fn=type(self).model_forward)
@@ -194,9 +206,9 @@ class DeepFMEstimator:
         zeros_teacher = jnp.zeros((tc.batch_size,), jnp.float32)
         self.train_result, self.valid_result = [], []
 
-        for epoch in range(tc.n_epochs):
+        for epoch in range(start_epoch, tc.n_epochs):
             epoch_begin = time.time()
-            total_loss = 0.0
+            epoch_losses = []
 
             teacher_logits_all = None
             if use_kd:
@@ -205,7 +217,9 @@ class DeepFMEstimator:
                 self._log(f"- Finished computing teacher outputs after {time.time() - t0:.0f} secs..")
 
             offset = 0
-            for batch in batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size):
+            batches = batching.prefetch_to_device(
+                batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size))
+            for batch in batches:
                 if epoch >= tc.warm:
                     n_iter += 1
                 step_key, sub = jax.random.split(step_key)
@@ -218,10 +232,11 @@ class DeepFMEstimator:
                 else:
                     t_log = zeros_teacher
                 self.params, self.opt_state, loss = train_step(
-                    self.params, self.opt_state, jnp.asarray(batch["xi"]),
-                    jnp.asarray(batch["xv"]), jnp.asarray(batch["y"]),
-                    jnp.asarray(batch["mask"]), sub, t_log)
-                total_loss += float(loss)
+                    self.params, self.opt_state, batch["xi"], batch["xv"],
+                    batch["y"], batch["mask"], sub, t_log)
+                # keep the loss on device — a float() here would sync every
+                # step and serialize the pipeline; fetched at epoch end
+                epoch_losses.append(loss)
                 offset += tc.batch_size
                 self._step += 1
 
@@ -236,6 +251,10 @@ class DeepFMEstimator:
                         prune_fm=p_fm and self.mcfg.needs_emb2, prune_deep=p_deep,
                         prune_r=p_r and self.mcfg.use_fwfm)
 
+            if epoch_losses:   # single device sync for the whole epoch
+                mean_step_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                self.logger.debug("epoch %d mean train-step loss: %.6f"
+                                  % (epoch + 1, mean_step_loss))
             rep = sparsity_report(self.params)
             self._log("Model parameters %d, sparse rate %.2f%%"
                       % (rep["nonzero"], rep["sparsity_pct"]))
