@@ -130,10 +130,11 @@ def main():
         ref = run_reference(wd, args.epochs, args.rows, args.emb, args.nodes,
                             args.depth, args.batch)
     print("reference:", json.dumps(ref))
-    d_auc = abs(ours["auc"] - ref["auc"])
-    d_loss = abs(ours["loss"] - ref["loss"])
-    print(f"delta auc {d_auc:.4f}  delta logloss {d_loss:.4f}")
-    ok = d_auc < 0.03 and d_loss < 0.05
+    d_auc = ours["auc"] - ref["auc"]
+    d_loss = ours["loss"] - ref["loss"]
+    print(f"delta auc {d_auc:+.4f}  delta logloss {d_loss:+.4f} (ours - reference)")
+    # asymmetric: matching OR beating the reference both count as parity
+    ok = d_auc > -0.03 and d_loss < 0.05
     print("PARITY OK" if ok else "PARITY DIVERGENT")
     return 0 if ok else 1
 

@@ -31,15 +31,28 @@ def named_scope(name: str):
 
 @contextlib.contextmanager
 def trace(trace_dir: Optional[str]):
-    """Capture an xprof trace (reference: ``export_chrome_trace('trace.json')``)."""
+    """Capture an xprof trace (reference: ``export_chrome_trace('trace.json')``).
+
+    Degrades to a no-op (with a warning) on backends without profiler support
+    (e.g. remote-tunneled devices).
+    """
     if trace_dir is None:
         yield
         return
-    jax.profiler.start_trace(trace_dir)
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:  # backend without profiler support
+        import warnings
+        warnings.warn(f"jax.profiler unavailable on this backend: {e}")
+        yield
+        return
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
 
 
 def simple_timeit(fn: Callable, *args, tries: int = 10, warmup: int = 1,
