@@ -35,7 +35,10 @@ def _fwfm_kernel(r_ref, emb_ref, out_ref):
     e_dim = emb_ref.shape[0]
     for e in range(e_dim):                        # static unroll, E ~ 10
         sl = emb_ref[e]                           # (TB, F)
-        m = jnp.dot(sl, rs, preferred_element_type=jnp.float32)   # Σ_l e_l·R_{lk}
+        # highest precision: match the XLA path's f32 contraction (default MXU
+        # bf16 passes cost ~1e-3 rel error on the interaction sums)
+        m = jnp.dot(sl, rs, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)           # Σ_l e_l·R_{lk}
         pair = jnp.sum(sl * m, axis=1)
         dcorr = jnp.sum(sl * sl * diag[None, :], axis=1)
         out_ref[:, e] = 0.5 * (pair - dcorr)
