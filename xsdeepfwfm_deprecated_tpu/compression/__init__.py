@@ -1,0 +1,1 @@
+from . import pruning, quantization, distillation  # noqa: F401

@@ -83,6 +83,10 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
                                * (2.0 / f / 2.0) ** 0.5)     # reference :486-487
 
     if cfg.use_ffm:
+        # FFM keeps F field-specialized vectors PER ROW — (Σn_i, F·E) packed,
+        # F× the FwFM table. Identical asymptotics to the reference's
+        # per-field-pair ModuleList grid (model/DeepFMs.py:235-237); FFM on
+        # web-scale cardinalities is memory-prohibitive in both designs.
         params["ffm1"] = emb_ops.init_tables(next(keys), spec, 1, scale=1.0, dtype=dtype)
         params["ffm2"] = emb_ops.init_tables(next(keys), spec, f * e, scale=0.01, dtype=dtype)
 

@@ -1,0 +1,1 @@
+from . import embedding, interactions, mlp, quantized  # noqa: F401

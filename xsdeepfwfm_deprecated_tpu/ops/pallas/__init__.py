@@ -1,0 +1,1 @@
+from . import fwfm, int8_mlp  # noqa: F401
