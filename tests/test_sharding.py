@@ -128,3 +128,51 @@ def test_full_sharded_train_step(mesh, rng):
     assert float(loss) == pytest.approx(float(loss3), rel=1e-5)
     np.testing.assert_allclose(np.asarray(p2["emb2"]["dense"]),
                                np.asarray(p3["emb2"]["dense"]), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_lookup_model4(rng):
+    """4-way model sharding over an (2, 4) mesh."""
+    mesh4 = mesh_mod.make_mesh(data=2, model=4)
+    spec = emb_ops.make_spec(F_SIZES, NUM)
+    tables = emb_ops.init_tables(jax.random.PRNGKey(2), spec, E)
+    xi = rng.integers(0, [30, 40, 56], size=(B, 3)).astype(np.int32)
+    xv = rng.normal(size=(B, NUM)).astype(np.float32)
+    want = np.asarray(emb_ops.packed_lookup(tables, spec, jnp.asarray(xi),
+                                            jnp.asarray(xv)))
+    lookup = es.make_sharded_lookup(mesh4, spec)
+    t_s = jax.device_put(tables["dense"], NamedSharding(mesh4, P("model", None)))
+    xi_s = jax.device_put(jnp.asarray(xi), NamedSharding(mesh4, P("data", None)))
+    xv_s = jax.device_put(jnp.asarray(xv), NamedSharding(mesh4, P("data", None)))
+    got = np.asarray(jax.jit(lambda t, a, b: lookup({"dense": t}, spec, a, b))(
+        t_s, xi_s, xv_s))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_sharded_lookup_with_qr(mesh, rng):
+    """QR fields ride the replicated q/r path while dense rows stay sharded."""
+    sizes = (1, 1, 30, 40, 312)    # last field > threshold → QR; dense rows 72
+    spec = emb_ops.make_spec(sizes, NUM, qr_flag=True, qr_collisions=4,
+                             qr_threshold=200)
+    assert spec.is_qr_field[-1]
+    tables = emb_ops.init_tables(jax.random.PRNGKey(3), spec, E)
+    # pad dense rows to the model-axis multiple
+    dense = tables["dense"]
+    m = mesh.shape["model"]
+    target = -(-dense.shape[0] // m) * m
+    tables["dense"] = jnp.concatenate(
+        [dense, jnp.zeros((target - dense.shape[0], E))], 0)
+
+    xi = rng.integers(0, [30, 40, 312], size=(B, 3)).astype(np.int32)
+    xv = rng.normal(size=(B, NUM)).astype(np.float32)
+    want = np.asarray(emb_ops.packed_lookup(tables, spec, jnp.asarray(xi),
+                                            jnp.asarray(xv)))
+    lookup = es.make_sharded_lookup(mesh, spec)
+    sharded = {
+        "dense": jax.device_put(tables["dense"], NamedSharding(mesh, P("model", None))),
+        "q": jax.device_put(tables["q"], NamedSharding(mesh, P())),
+        "r": jax.device_put(tables["r"], NamedSharding(mesh, P())),
+    }
+    xi_s = jax.device_put(jnp.asarray(xi), NamedSharding(mesh, P("data", None)))
+    xv_s = jax.device_put(jnp.asarray(xv), NamedSharding(mesh, P("data", None)))
+    got = np.asarray(jax.jit(lambda t, a, b: lookup(t, spec, a, b))(sharded, xi_s, xv_s))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -141,3 +141,31 @@ def test_resume_training(tmp_path, tiny_criteo):
     est2.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [],
              resume_from=str(tmp_path / "ck"))
     assert len(est2.train_result) == 1  # epochs 0-1 skipped, epoch 2 ran
+
+
+def test_sparse_checkpoint_roundtrip(tmp_path):
+    """COO-encoded pruned checkpoints shrink on disk and restore exactly."""
+    import jax, os
+    import jax.numpy as jnp
+    from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+    from xsdeepfwfm_deprecated_tpu.compression.pruning import prune_params
+    from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig(field_size=4, feature_sizes=(1, 500, 600, 700), numerical=1,
+                      embedding_size=8, h_depth=2, deep_nodes=64,
+                      use_fwfm=True, use_deep=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+    pruned = prune_params(params, jnp.float32(0.9), prune_fm=True,
+                          prune_deep=True, prune_r=True)
+
+    p_dense = tmp_path / "dense"
+    p_sparse = tmp_path / "sparse"
+    ckpt.save_checkpoint(str(p_dense), pruned, sparse=False)
+    ckpt.save_checkpoint(str(p_sparse), pruned, sparse=True)
+    sz_dense = os.path.getsize(str(p_dense) + ".npz")
+    sz_sparse = os.path.getsize(str(p_sparse) + ".npz")
+    assert sz_sparse < 0.5 * sz_dense, (sz_sparse, sz_dense)
+
+    restored, _, _ = ckpt.load_checkpoint(str(p_sparse), params)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(pruned)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -29,14 +29,48 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     return flat
 
 
+SPARSE_THRESHOLD = 0.5   # store arrays >50% zero in COO form
+
+
+def _encode(arrays: Dict[str, np.ndarray], sparse: bool) -> Dict[str, np.ndarray]:
+    """Optionally COO-encode mostly-zero arrays (DeepLight pruned checkpoints:
+    the reference's "low memory" variant drops 13.7M → 1.38M stored params,
+    paper Table 5). Dense entries keep their name; sparse entries expand to
+    ``<name>@idx / @val / @shape``."""
+    out = {}
+    for name, arr in arrays.items():
+        if sparse and arr.size > 1024 and np.issubdtype(arr.dtype, np.floating):
+            nz = np.flatnonzero(arr)
+            if len(nz) < (1.0 - SPARSE_THRESHOLD) * arr.size:
+                out[name + "@idx"] = nz.astype(np.int64)
+                out[name + "@val"] = arr.ravel()[nz]
+                out[name + "@shape"] = np.asarray(arr.shape, np.int64)
+                continue
+        out[name] = arr
+    return out
+
+
+def _decode(data, key: str) -> Optional[np.ndarray]:
+    if key in data:
+        return data[key]
+    if key + "@idx" in data:
+        shape = tuple(data[key + "@shape"])
+        flat = np.zeros(int(np.prod(shape)), dtype=data[key + "@val"].dtype)
+        flat[data[key + "@idx"]] = data[key + "@val"]
+        return flat.reshape(shape)
+    return None
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None, *,
                     step: int = 0, epoch: int = 0,
-                    metadata: Optional[Dict] = None) -> None:
-    """Write ``<path>.npz`` (+ ``<path>.meta.json``)."""
+                    metadata: Optional[Dict] = None, sparse: bool = False) -> None:
+    """Write ``<path>.npz`` (+ ``<path>.meta.json``). ``sparse=True`` stores
+    mostly-zero (pruned) arrays in COO form for DeepLight-style size wins."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    arrays = {"params::" + k: v for k, v in _flatten(params).items()}
+    arrays = _encode({"params::" + k: v for k, v in _flatten(params).items()}, sparse)
     if opt_state is not None:
-        arrays.update({"opt::" + k: v for k, v in _flatten(opt_state).items()})
+        arrays.update(_encode({"opt::" + k: v for k, v in _flatten(opt_state).items()},
+                              sparse))
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
     meta = dict(metadata or {})
     meta.update({"step": int(step), "epoch": int(epoch)})
@@ -66,8 +100,8 @@ def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = N
         for p, leaf in leaves_with_path:
             name = prefix + "/".join(
                 str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k)))) for k in p)
-            if name in data:
-                arr = data[name]
+            arr = _decode(data, name)
+            if arr is not None:
                 new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype)
                                   if hasattr(leaf, "dtype") else arr)
             elif strict:

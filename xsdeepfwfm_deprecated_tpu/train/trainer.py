@@ -278,7 +278,8 @@ class DeepFMEstimator:
                 rng_np, Xi_train, Xv_train, y_train)
 
             if save_path:
-                self.save(save_path, epoch=epoch)
+                # pruned runs store mostly-zero arrays in COO form
+                self.save(save_path, epoch=epoch, sparse=do_prune)
             if is_valid and early_stopping and self.training_termination(self.valid_result):
                 self._log("early stop at [%d] epoch!" % (epoch + 1))
                 break
@@ -349,9 +350,9 @@ class DeepFMEstimator:
 
     # ---------------------------------------------------------- persistence
 
-    def save(self, path: str, epoch: int = 0):
+    def save(self, path: str, epoch: int = 0, sparse: bool = False):
         ckpt.save_checkpoint(path, self.params, self.opt_state, step=self._step,
-                             epoch=epoch, metadata={
+                             epoch=epoch, sparse=sparse, metadata={
                                  "model": self.mcfg.model_name,
                                  "field_size": self.mcfg.field_size,
                                  "sparse": self.tcfg.sparse,
