@@ -26,7 +26,7 @@ sys.path.insert(0, ".")
 
 
 def run(per_device_batch: int = 4096, mode: str = "score",
-        feature_scale: int = 1, tries: int = 10):
+        feature_scale: int = 1, tries: int = 10, exchange: str = "a2a"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -51,15 +51,21 @@ def run(per_device_batch: int = 4096, mode: str = "score",
         params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
         params = mesh_mod.pad_rows_for_mesh(params, mesh)
         params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
-        lookup = es.make_sharded_lookup(mesh, spec)
-
-        b = per_device_batch * data_ax
+        if exchange == "a2a" and model_ax > 1:
+            lookup = es.make_a2a_lookup(mesh, spec)
+            b = per_device_batch * data_ax * model_ax   # batch over both axes
+        else:
+            lookup = es.make_sharded_lookup(mesh, spec)
+            b = per_device_batch * data_ax
         rng = np.random.default_rng(0)
         xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
                           size=(b, 26)).astype(np.int32)
         xv = rng.normal(size=(b, 13)).astype(np.float32)
         y = (rng.random(b) < 0.3).astype(np.float32)
-        s2, _, s1 = mesh_mod.batch_shardings(mesh)
+        if exchange == "a2a" and model_ax > 1:
+            s2, s1 = es.a2a_batch_sharding(mesh)
+        else:
+            s2, _, s1 = mesh_mod.batch_shardings(mesh)
         xi_d = jax.device_put(jnp.asarray(xi), s2)
         xv_d = jax.device_put(jnp.asarray(xv), s2)
         y_d = jax.device_put(jnp.asarray(y), s1)
@@ -102,9 +108,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=4096)
     ap.add_argument("--mode", choices=["score", "train"], default="score")
+    ap.add_argument("--exchange", choices=["psum", "a2a"], default="a2a")
     ap.add_argument("--feature-scale", type=int, default=1)
     args = ap.parse_args()
-    results = run(args.per_device_batch, args.mode, args.feature_scale)
+    results = run(args.per_device_batch, args.mode, args.feature_scale,
+                  exchange=args.exchange)
     for n, r in results.items():
         print(json.dumps(r))
 

@@ -56,6 +56,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--lr-only", action="store_true")
+    ap.add_argument("--steps-per-call", type=int, default=1)
     args = ap.parse_args()
 
     from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
@@ -73,7 +74,8 @@ def main():
                        use_fwfm=not args.lr_only, use_deep=not args.lr_only,
                        use_lw=not args.lr_only, use_fwlw=not args.lr_only)
     tcfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch,
-                       learning_rate=1e-3, weight_decay=3e-7, random_seed=0)
+                       learning_rate=1e-3, weight_decay=3e-7, random_seed=0,
+                       steps_per_call=args.steps_per_call)
     est = DeepFMEstimator(mcfg, tcfg)
     est.fit(xi[n_test:], xv[n_test:], y[n_test:],
             xi[:n_test], xv[:n_test], y[:n_test])

@@ -176,3 +176,90 @@ def test_sharded_lookup_with_qr(mesh, rng):
     xv_s = jax.device_put(jnp.asarray(xv), NamedSharding(mesh, P("data", None)))
     got = np.asarray(jax.jit(lambda t, a, b: lookup(t, spec, a, b))(sharded, xi_s, xv_s))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_a2a_lookup_matches_dense(mesh, lookup_case):
+    """All-to-all exchange (batch over both axes) ≡ plain packed lookup."""
+    spec, tables, xi, xv = lookup_case
+    want = np.asarray(emb_ops.packed_lookup(tables, spec, xi, xv))
+
+    lookup = es.make_a2a_lookup(mesh, spec)
+    t_s = jax.device_put(tables["dense"], NamedSharding(mesh, P("model", None)))
+    s2, _ = es.a2a_batch_sharding(mesh)
+    xi_s = jax.device_put(xi, s2)
+    xv_s = jax.device_put(xv, s2)
+    got = np.asarray(jax.jit(lambda t, a, b: lookup({"dense": t}, spec, a, b))(
+        t_s, xi_s, xv_s))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_a2a_lookup_gradients(mesh, lookup_case):
+    spec, tables, xi, xv = lookup_case
+    lookup = es.make_a2a_lookup(mesh, spec)
+    s2, _ = es.a2a_batch_sharding(mesh)
+    xi_s = jax.device_put(xi, s2)
+    xv_s = jax.device_put(xv, s2)
+
+    def loss_a2a(t):
+        return jnp.sum(lookup({"dense": t}, spec, xi_s, xv_s) ** 2)
+
+    def loss_dense(t):
+        return jnp.sum(emb_ops.packed_lookup({"dense": t}, spec, xi, xv) ** 2)
+
+    t_s = jax.device_put(tables["dense"], NamedSharding(mesh, P("model", None)))
+    g_a2a = np.asarray(jax.jit(jax.grad(loss_a2a))(t_s))
+    g_dense = np.asarray(jax.grad(loss_dense)(tables["dense"]))
+    np.testing.assert_allclose(g_a2a, g_dense, rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_full_train_step(mesh, rng):
+    """Full train step with the a2a lookup: dense compute data-parallel over
+    the combined (data×model) grid."""
+    cfg = ModelConfig(field_size=5, feature_sizes=F_SIZES, numerical=NUM,
+                      embedding_size=E, h_depth=2, deep_nodes=16,
+                      use_fwfm=True, use_deep=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+    params = mesh_mod.pad_rows_for_mesh(params, mesh)
+    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    spec = deepfwfm.make_embedding_spec(cfg)
+    lookup = es.make_a2a_lookup(mesh, spec)
+
+    xi = rng.integers(0, [30, 40, 56], size=(B, 3)).astype(np.int32)
+    xv = rng.normal(size=(B, NUM)).astype(np.float32)
+    y = (rng.random(B) < 0.3).astype(np.float32)
+    s2, s1 = es.a2a_batch_sharding(mesh)
+    xi_s = jax.device_put(jnp.asarray(xi), s2)
+    xv_s = jax.device_put(jnp.asarray(xv), s2)
+    y_s = jax.device_put(jnp.asarray(y), s1)
+
+    @jax.jit
+    def step(p, o, a, b, t):
+        def loss_fn(p):
+            logits = deepfwfm.forward(p, a, b, cfg, lookup_fn=lookup)
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, t))
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        up, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    p2, _, loss = step(params, opt_state, xi_s, xv_s, y_s)
+    assert np.isfinite(float(loss))
+
+    # equivalence with the unsharded step
+    params_host = jax.device_get(params)
+
+    @jax.jit
+    def step_dense(p, o, a, b, t):
+        def loss_fn(p):
+            logits = deepfwfm.forward(p, a, b, cfg)
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, t))
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        up, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    p3, _, loss3 = step_dense(params_host, opt.init(params_host),
+                              jnp.asarray(xi), jnp.asarray(xv), jnp.asarray(y))
+    assert float(loss) == pytest.approx(float(loss3), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(p2["emb2"]["dense"]),
+                               np.asarray(p3["emb2"]["dense"]), rtol=1e-4, atol=1e-6)

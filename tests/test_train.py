@@ -169,3 +169,28 @@ def test_sparse_checkpoint_roundtrip(tmp_path):
     restored, _, _ = ckpt.load_checkpoint(str(p_sparse), params)
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(pruned)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_steps_per_call_equivalent(tiny_criteo):
+    """K-steps-per-dispatch training matches step-at-a-time training."""
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    import jax.numpy as jnp
+
+    results = {}
+    for k in (1, 4):
+        mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                                train_kw=dict(n_epochs=1, batch_size=256,
+                                              steps_per_call=k))
+        # deterministic: no dropout so the rng schedule difference is moot
+        import dataclasses
+        mcfg = dataclasses.replace(mcfg, is_deep_dropout=False,
+                                   is_shallow_dropout=False)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+        results[k] = est.params
+
+    for a, b in zip(__import__("jax").tree.leaves(results[1]),
+                    __import__("jax").tree.leaves(results[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

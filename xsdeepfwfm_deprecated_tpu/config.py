@@ -151,6 +151,7 @@ class TrainConfig:
     kd_alpha: float = 0.9
     kd_temperature: float = 20.0
 
+    steps_per_call: int = 1          # K optimizer steps per device dispatch (lax.scan)
     early_stopping: bool = False
     greater_is_better: bool = True
     eval_batch_size: int = 8192      # reference eval_by_batch (:760-763)

@@ -87,3 +87,76 @@ def make_sharded_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
         return emb * scale[..., None]
 
     return lookup
+
+
+# ---------------------------------------------------------------------------
+# All-to-all exchange (DLRM-style model→data parallel transition)
+# ---------------------------------------------------------------------------
+
+def a2a_lookup_local(table_local: jax.Array, gidx_local: jax.Array,
+                     axis_name: str = MODEL_AXIS) -> jax.Array:
+    """Inside shard_map: row-sharded gather with an all-to-all result exchange.
+
+    Here the BATCH is sharded over the ``model`` axis too (each chip owns
+    ``b_local = B / (data·model)`` examples), so instead of psum-ing full
+    ``(B_local, F, E)`` partials, each chip:
+
+    1. all-gathers its model-group's index blocks (tiny int32 traffic);
+    2. gathers the rows IT owns for every sibling's indices;
+    3. all-to-alls the looked-up vectors so each chip receives exactly its own
+       examples' vectors — ICI volume per chip ``≈ b_local·F·E``, a ``model``-
+       factor less than the psum exchange, the classic DLRM embedding
+       all-to-all (BASELINE.json north star).
+
+    Each global row is owned by exactly one chip, so summing the received
+    slots reconstructs the lookup exactly.
+    """
+    m = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    rows_local = table_local.shape[0]
+    all_idx = jax.lax.all_gather(gidx_local, axis_name)            # (M, b, F)
+    local = all_idx - my * rows_local
+    valid = (local >= 0) & (local < rows_local)
+    got = jnp.take(table_local, jnp.clip(local, 0, rows_local - 1), axis=0)
+    part = jnp.where(valid[..., None], got, jnp.zeros_like(got))   # (M, b, F, E)
+    recv = jax.lax.all_to_all(part, axis_name, split_axis=0, concat_axis=0)
+    return jnp.sum(recv, axis=0)                                   # (b, F, E)
+
+
+def make_a2a_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
+    """Drop-in lookup with batch sharded over BOTH mesh axes.
+
+    Use with batch sharding ``P(('data','model'), None)`` — after the lookup,
+    the whole network (interactions + MLP) runs data-parallel over the
+    combined device grid, so the dense compute also scales with the ``model``
+    axis instead of being replicated along it.
+    """
+
+    def lookup(tables, spec_, xi: jax.Array, xv: jax.Array) -> jax.Array:
+        raw, scale = emb_ops.build_indices(spec_, xi, xv)
+        offs = jnp.asarray(spec_.dense_offsets, dtype=raw.dtype)[None, :]
+        gidx = jnp.clip(offs + raw, 0, tables["dense"].shape[0] - 1)
+
+        exchange = shard_map(
+            partial(a2a_lookup_local, axis_name=MODEL_AXIS),
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
+            out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+        )
+        dense_emb = exchange(tables["dense"], gidx)
+        if spec_.has_qr:
+            qr_emb = emb_ops._qr_gather(tables, spec_, raw)  # replicated q/r
+            mask = jnp.asarray(spec_.is_qr_field)[None, :, None]
+            emb = jnp.where(mask, qr_emb, dense_emb)
+        else:
+            emb = dense_emb
+        return emb * scale[..., None]
+
+    return lookup
+
+
+def a2a_batch_sharding(mesh: Mesh):
+    """(xi/xv, y) shardings for the all-to-all path: batch over both axes."""
+    from jax.sharding import NamedSharding
+    return (NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)),
+            NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS))))

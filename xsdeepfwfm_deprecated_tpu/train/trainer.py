@@ -84,6 +84,57 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
     return train_step
 
 
+def make_multi_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    optimizer: optax.GradientTransformation, *, use_kd: bool = False,
+                    forward_fn=None):
+    """K optimizer steps per dispatch via ``lax.scan`` over stacked batches.
+
+    One launch runs ``steps_per_call`` full train steps on device — the
+    dispatch/RTT amortization that turns the reference's per-batch Python loop
+    (``model/DeepFMs.py:612-637``) into a compiled pipeline. Inputs are
+    stacked ``(K, B, ...)`` arrays; returns per-step losses ``(K,)``.
+    """
+    forward_fn = forward_fn or deepfwfm.forward
+
+    def loss_fn(params, xi, xv, y, mask, rng, teacher_logits):
+        logits = forward_fn(params, xi, xv, mcfg, train=True, rng=rng)
+        if use_kd:
+            return kd_loss(logits, teacher_logits, y, mask,
+                           alpha=tcfg.kd_alpha, temperature=tcfg.kd_temperature)
+        elem = optax.sigmoid_binary_cross_entropy(logits, y)
+        return jnp.sum(elem * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(params, opt_state, xi_k, xv_k, y_k, mask_k, rng, teacher_k):
+        def body(carry, batch):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            xi, xv, y, mask, t = batch
+
+            def do_step(operand):
+                params, opt_state = operand
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, xi, xv, y, mask, sub, t)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            def skip_step(operand):
+                # all-padding tail step: touching the optimizer would decay
+                # Adam moments on a phantom batch — skip entirely
+                params, opt_state = operand
+                return params, opt_state, jnp.float32(0.0)
+
+            params, opt_state, loss = jax.lax.cond(
+                jnp.sum(mask) > 0, do_step, skip_step, (params, opt_state))
+            return (params, opt_state, key), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, rng), (xi_k, xv_k, y_k, mask_k, teacher_k))
+        return params, opt_state, losses
+
+    return multi_step
+
+
 def make_eval_fn(mcfg: ModelConfig, forward_fn=None):
     forward_fn = forward_fn or deepfwfm.forward
 
@@ -184,6 +235,13 @@ class DeepFMEstimator:
             start_epoch = meta.get("epoch", -1) + 1
             self._log(f"resumed from {resume_from} at epoch {start_epoch}")
         use_kd = teacher_model is not None
+        # K steps per dispatch amortizes launch overhead; pruning and KD need
+        # per-step host interaction, so they keep K=1
+        k_steps = tc.steps_per_call if (tc.steps_per_call > 1 and not do_prune
+                                        and not use_kd) else 1
+        if k_steps > 1:
+            multi_step = make_multi_step(self.mcfg, tc, optimizer, use_kd=False,
+                                         forward_fn=type(self).model_forward)
         train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
                                      forward_fn=type(self).model_forward)
 
@@ -216,9 +274,26 @@ class DeepFMEstimator:
                 teacher_logits_all = teacher_model._predict_logits(Xi_train, Xv_train)
                 self._log(f"- Finished computing teacher outputs after {time.time() - t0:.0f} secs..")
 
+            if k_steps > 1:
+                group = tc.batch_size * k_steps
+                for gbatch in batching.prefetch_to_device(
+                        batching.iter_batches(Xi_train, Xv_train, y_train, group)):
+                    step_key, sub = jax.random.split(step_key)
+                    c = self.mcfg.num_categorical
+                    self.params, self.opt_state, losses = multi_step(
+                        self.params, self.opt_state,
+                        gbatch["xi"].reshape(k_steps, tc.batch_size, c),
+                        gbatch["xv"].reshape(k_steps, tc.batch_size, -1),
+                        gbatch["y"].reshape(k_steps, tc.batch_size),
+                        gbatch["mask"].reshape(k_steps, tc.batch_size),
+                        sub, jnp.zeros((k_steps, tc.batch_size), jnp.float32))
+                    epoch_losses.append(jnp.sum(losses))
+                    self._step += k_steps
+                self._finish_epoch_logging = True
             offset = 0
-            batches = batching.prefetch_to_device(
+            batches = (batching.prefetch_to_device(
                 batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size))
+                if k_steps == 1 else [])
             for batch in batches:
                 if epoch >= tc.warm:
                     n_iter += 1
