@@ -18,6 +18,9 @@ import numpy as np
 def main():
     import jax
 
+    from xsdeepfwfm_deprecated_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from __graft_entry__ import _flagship
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
 

@@ -110,3 +110,17 @@ def test_qat_forward_runs(trained_like_model):
     g = jax.grad(lambda p: jnp.sum(deepfwfm.forward(p, xi, xv, qcfg, train=False)))(params)
     gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g["deep"]))
     assert gnorm > 0
+
+
+def test_quantized_artifact_roundtrip(tmp_path, trained_like_model):
+    """_save_quantized → load_quantized → identical serving logits."""
+    from xsdeepfwfm_deprecated_tpu.cli.quantization import (_save_quantized,
+                                                            load_quantized)
+    cfg, params, xi, xv = trained_like_model
+    qm = Q.convert(params, cfg, mode="dynamic")
+    path = str(tmp_path / "model_dynamic_quant")
+    _save_quantized(qm, path)
+    qm2 = load_quantized(path, cfg, mode="dynamic")
+    a = np.asarray(Q.quantized_forward(qm, xi, xv))
+    b = np.asarray(Q.quantized_forward(qm2, xi, xv))
+    np.testing.assert_allclose(a, b, rtol=1e-6)

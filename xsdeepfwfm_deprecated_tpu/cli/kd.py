@@ -21,6 +21,8 @@ STUDENT_H_DEPTH = 2        # reference kd.py:41
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     pars = get_parser().parse_args(argv)
     logger = get_logger("Knowledge Distillation")
     logger.info(pars)

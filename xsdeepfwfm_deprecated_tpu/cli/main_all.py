@@ -24,6 +24,8 @@ from ..utils.logging import get_logger
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     pars = get_parser().parse_args(argv)
 
     np.random.seed(pars.random_seed)

@@ -11,6 +11,8 @@ from ..utils.logging import get_logger
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     parser = get_parser()
     parser.add_argument("-interaction_type", default=1, type=int,
                         help="1: bi-interaction pooling; 0: pairwise concat")

@@ -30,6 +30,40 @@ from ..train import checkpoint as ckpt
 from ..utils.logging import get_logger
 
 
+def load_quantized(path: str, cfg, mode: str = "dynamic") -> "Q.QuantizedModel":
+    """Load a ``_dynamic_quant`` / ``_static_quant`` artifact back into a
+    servable :class:`QuantizedModel` (counterpart of the reference reloading
+    its quantized state_dicts, ``quantization.py:64,114``)."""
+    import jax.numpy as jnp
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    trees = {"params_fp": {}, "emb1_q": {}, "emb2_q": {}, "deep_q": {},
+             "act_scales": {}}
+
+    def insert(root, keys, value):
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = jnp.asarray(value)
+
+    for full_key in data.files:
+        section, rest = full_key.split("::", 1)
+        insert(trees[section], rest.split("/"), data[full_key])
+
+    def listify(node):
+        """dict with contiguous int keys → list (restores layer lists)."""
+        if isinstance(node, dict):
+            node = {k: listify(v) for k, v in node.items()}
+            if node and all(k.isdigit() for k in node):
+                return [node[str(i)] for i in range(len(node))]
+        return node
+
+    trees = {k: (listify(v) if v else None) for k, v in trees.items()}
+    act = trees["act_scales"]
+    return Q.QuantizedModel(cfg=cfg, mode=mode, params_fp=trees["params_fp"] or {},
+                            emb1_q=trees["emb1_q"], emb2_q=trees["emb2_q"],
+                            deep_q=trees["deep_q"], act_scales=act)
+
+
 def _save_quantized(qm: Q.QuantizedModel, path: str):
     import jax
     arrays = {}
@@ -46,6 +80,8 @@ def _save_quantized(qm: Q.QuantizedModel, path: str):
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     pars = get_parser().parse_args(argv)
     logger = get_logger("Quantization")
     logger.info(pars)

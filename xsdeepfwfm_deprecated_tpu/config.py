@@ -223,6 +223,10 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["reply", "retweet", "retweet_comment", "like"])
     p.add_argument("-time_on_cuda", default=0, type=int, help="Compat flag")
     # TPU-native extensions
+    p.add_argument("-prune_omega", default=100.0, type=float,
+                   help="Adaptive-schedule Omega (TPU extension; reference hardcodes 100)")
+    p.add_argument("-steps_per_call", default=1, type=int,
+                   help="Optimizer steps per device dispatch (TPU extension)")
     p.add_argument("-mesh_data", default=0, type=int, help="Data-parallel mesh axis size (0 = all devices)")
     p.add_argument("-mesh_model", default=1, type=int, help="Model-parallel mesh axis size (embedding row sharding)")
     return p
@@ -274,6 +278,8 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         emb_r=pars.emb_r,
         emb_corr=pars.emb_corr,
         kd=bool(pars.kd),
+        prune_omega=getattr(pars, "prune_omega", 100.0),
+        steps_per_call=getattr(pars, "steps_per_call", 1),
         save_model_path=(pars.save_model_path if pars.save_model_path not in (0, "0") else None),
     )
     return mcfg, tcfg

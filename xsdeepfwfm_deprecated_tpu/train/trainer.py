@@ -289,7 +289,6 @@ class DeepFMEstimator:
                         sub, jnp.zeros((k_steps, tc.batch_size), jnp.float32))
                     epoch_losses.append(jnp.sum(losses))
                     self._step += k_steps
-                self._finish_epoch_logging = True
             offset = 0
             batches = (batching.prefetch_to_device(
                 batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size))
@@ -380,12 +379,13 @@ class DeepFMEstimator:
         bs = batch_size or (self.tcfg.eval_batch_size * (2 if self.mcfg.use_ffm else 1))
         Xi = np.asarray(Xi, dtype=np.int32).reshape(-1, self.mcfg.num_categorical)
         Xv = np.asarray(Xv, dtype=np.float32)
-        out = []
+        pending = []   # dispatch everything async, fetch once at the end
         dummy_y = np.zeros(Xi.shape[0], dtype=np.float32)
-        for batch in batching.iter_batches(Xi, Xv, dummy_y, bs):
-            logits = self.eval_fn(self.params, jnp.asarray(batch["xi"]),
-                                  jnp.asarray(batch["xv"]))
-            out.append(np.asarray(logits)[: batch["n_valid"]])
+        for batch in batching.prefetch_to_device(
+                batching.iter_batches(Xi, Xv, dummy_y, bs)):
+            logits = self.eval_fn(self.params, batch["xi"], batch["xv"])
+            pending.append((logits, batch["n_valid"]))
+        out = [np.asarray(lg)[:nv] for lg, nv in pending]
         return np.concatenate(out) if out else np.zeros((0,), np.float32)
 
     def eval_by_batch(self, Xi, Xv, y) -> Tuple[float, float, float, float]:
