@@ -17,7 +17,7 @@ from datetime import datetime
 
 import numpy as np
 
-from ..config import configs_from_args, get_parser
+from ..config import get_parser
 from ..data.datasets import get_dataset
 from ..models.factory import get_model
 from ..utils.logging import get_logger

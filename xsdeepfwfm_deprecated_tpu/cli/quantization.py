@@ -26,7 +26,6 @@ from ..data.datasets import get_dataset
 from ..models.factory import get_model
 from ..serving.benchmark import run_benchmark
 from ..serving.predictor import Predictor
-from ..train import checkpoint as ckpt
 from ..utils.logging import get_logger
 
 

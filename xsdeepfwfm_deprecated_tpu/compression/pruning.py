@@ -33,7 +33,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig, TrainConfig
+from ..config import ModelConfig
 
 
 def magnitude_threshold(w: jax.Array, target_sparsity: jax.Array) -> jax.Array:

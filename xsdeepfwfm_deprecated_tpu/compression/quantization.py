@@ -25,7 +25,7 @@ int8 MXU path.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,6 @@ from ..config import ModelConfig
 from ..models import deepfwfm
 from ..ops import embedding as emb_ops
 from ..ops import interactions as inter_ops
-from ..ops import mlp as mlp_ops
 from ..ops import quantized as q_ops
 
 

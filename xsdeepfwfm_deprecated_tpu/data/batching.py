@@ -8,7 +8,7 @@ jitted step compiles exactly once. Labels/values stay float32, indices int32.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 
@@ -63,7 +63,6 @@ def prefetch_to_device(batch_iter, size: int = 2):
     """
     import collections
     import jax
-    import jax.numpy as jnp
 
     queue = collections.deque()
 

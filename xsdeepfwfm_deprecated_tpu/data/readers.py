@@ -13,12 +13,11 @@ where C = categorical field count and Nnum = numeric field count.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from .feature_map import (derive_feature_sizes_from_csv, feature_sizes_from_map,
-                          load_category_index)
+from .feature_map import feature_sizes_from_map, load_category_index
 
 Batch = Dict[str, np.ndarray]
 

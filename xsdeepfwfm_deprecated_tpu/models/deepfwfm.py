@@ -23,7 +23,7 @@ Documented reference bugs NOT replicated:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

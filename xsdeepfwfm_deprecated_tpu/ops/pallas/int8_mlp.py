@@ -15,7 +15,7 @@ axis=1).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

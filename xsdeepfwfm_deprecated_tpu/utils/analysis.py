@@ -7,7 +7,7 @@ used for the paper's Table 5 comparisons and Figure 2 heatmap.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
