@@ -1,0 +1,75 @@
+"""Utility-module tests: analysis helpers, baseline, debug hooks, profiling."""
+
+import numpy as np
+import pytest
+
+from xsdeepfwfm_deprecated_tpu.utils import analysis as A
+
+
+def test_dnn_param_count():
+    # 390*400+400 + 2*(400*400+400) + 400 (bias-free head)
+    assert A.dnn_param_count(390, 400, 3) == 390 * 400 + 400 + 2 * (400 * 400 + 400) + 400
+
+
+def test_find_similar_dense_dnn():
+    width, sparse_params, dense_params = A.find_similar_dense_dnn(0.9)
+    assert 4 <= width < 400
+    assert abs(dense_params - sparse_params) / max(sparse_params, 1) < 0.35
+    # higher sparsity → narrower matched tower
+    w99, *_ = A.find_similar_dense_dnn(0.99)
+    assert w99 < width
+
+
+def test_plot_r_matrix(tmp_path):
+    rng = np.random.default_rng(0)
+    r = rng.normal(size=(39, 39))
+    out = A.plot_r_matrix(r, out_path=str(tmp_path / "r.png"))
+    import os
+    if hasattr(out, "savefig"):      # matplotlib present
+        assert os.path.exists(tmp_path / "r.png")
+    else:                            # headless fallback returns the data
+        np.testing.assert_allclose(out, 0.5 * (r + r.T))
+
+
+def test_save_memory_downcasts():
+    import pandas as pd
+    df = pd.DataFrame({"a": np.array([1, 2], np.int64),
+                       "b": np.array([1.0, 2.0], np.float64)})
+    out = A.save_memory(df)
+    assert out["a"].dtype == np.int32
+    assert out["b"].dtype == np.float32
+
+
+def test_hash_mlp_baseline_trains():
+    from xsdeepfwfm_deprecated_tpu.config import TrainConfig
+    from xsdeepfwfm_deprecated_tpu.models.hash_mlp_baseline import HashMLPBaseline
+    rng = np.random.default_rng(0)
+    n = 2000
+    idx = rng.integers(0, 50, size=(n, 5))
+    val = rng.normal(size=(n, 3)).astype(np.float32)
+    # label correlated with feature 0
+    y = ((idx[:, 0] > 25) ^ (rng.random(n) < 0.15)).astype(np.float32)
+    m = HashMLPBaseline(hash_dim=256, hidden=(32,),
+                        train_cfg=TrainConfig(n_epochs=3, batch_size=256,
+                                              learning_rate=1e-2))
+    m.fit(idx, val, y)
+    auc, prauc, rce = m.evaluate(idx, val, y)
+    assert auc > 0.8
+
+
+def test_debug_hooks():
+    import jax.numpy as jnp
+    from xsdeepfwfm_deprecated_tpu.utils.debug import checkified, nan_debugging
+    err, out = checkified(lambda x: jnp.log(x))(jnp.asarray([1.0, 2.0]))
+    assert err.get() is None
+    err2, _ = checkified(lambda x: jnp.log(x))(jnp.asarray([-1.0]))
+    assert err2.get() is not None  # nan flagged
+    with nan_debugging(False):
+        pass  # context manager restores config
+
+
+def test_simple_timeit_counts():
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import simple_timeit
+    calls = []
+    t = simple_timeit(lambda: calls.append(1), tries=5, warmup=2)
+    assert len(calls) == 7 and t >= 0

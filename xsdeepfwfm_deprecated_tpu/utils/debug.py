@@ -16,7 +16,7 @@ from jax.experimental import checkify
 @contextlib.contextmanager
 def nan_debugging(enable: bool = True):
     """Trap NaNs/Infs produced by any jitted computation inside the scope."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = bool(jax.config.jax_debug_nans)
     jax.config.update("jax_debug_nans", enable)
     try:
         yield
