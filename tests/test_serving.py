@@ -1,0 +1,50 @@
+"""Serving-layer tests: Predictor + run_benchmark harness (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from xsdeepfwfm_deprecated_tpu.compression import quantization as Q
+from xsdeepfwfm_deprecated_tpu.config import ModelConfig
+from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+from xsdeepfwfm_deprecated_tpu.serving.benchmark import run_benchmark
+from xsdeepfwfm_deprecated_tpu.serving.predictor import Predictor
+
+
+@pytest.fixture(scope="module")
+def served_model(rng):
+    cfg = ModelConfig(field_size=5, feature_sizes=(1, 1, 30, 40, 50), numerical=2,
+                      embedding_size=4, h_depth=2, deep_nodes=16,
+                      use_fwfm=True, use_deep=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+    xi = rng.integers(0, [30, 40, 50], size=(300, 3)).astype(np.int32)
+    xv = rng.normal(size=(300, 2)).astype(np.float32)
+    y = (rng.random(300) < 0.3).astype(np.float64)
+    return cfg, params, xi, xv, y
+
+
+def test_predictor_fp32(served_model):
+    cfg, params, xi, xv, y = served_model
+    p = Predictor(params, cfg).warmup(batch_sizes=(1, 64))
+    probs = p.predict_proba(xi, xv)
+    assert probs.shape == (300,)
+    assert np.all((probs > 0) & (probs < 1))
+    assert p.predict(xi[:5], xv[:5]).dtype == bool
+
+
+def test_predictor_quantized_matches_fp32(served_model):
+    cfg, params, xi, xv, y = served_model
+    fp = Predictor(params, cfg).predict_proba(xi, xv)
+    q = Predictor(Q.convert(params, cfg, mode="dynamic")).predict_proba(xi, xv)
+    assert np.corrcoef(fp, q)[0, 1] > 0.999
+
+
+def test_run_benchmark_reports(served_model, tmp_path):
+    cfg, params, xi, xv, y = served_model
+    res = run_benchmark(Predictor(params, cfg), xi, xv, y, batch_size=128,
+                        n_single=5, trace_dir=str(tmp_path / "trace"))
+    for key in ("loss", "auc", "prauc", "rce", "batch_ms", "examples_per_s",
+                "examples_per_s_per_chip", "single_example_ms"):
+        assert key in res and np.isfinite(res[key]), key
+    assert res["examples_per_s"] > 0

@@ -120,30 +120,28 @@ def forward(params: Dict, xi: jax.Array, xv: jax.Array, cfg: NFMConfig, *,
     return params["bias"][0] + jnp.sum(first_order, axis=1) + jnp.sum(x, axis=1)
 
 
-class NFMEstimator:
+from ..train.trainer import DeepFMEstimator
+
+
+class NFMEstimator(DeepFMEstimator):
     """NFM with the framework's estimator surface + the reference's refit mode."""
 
-    def __new__(cls, model_cfg: NFMConfig, train_cfg: TrainConfig, logger=None):
-        from ..train.trainer import DeepFMEstimator
+    model_forward = staticmethod(forward)
+    model_init = staticmethod(init_params)
 
-        class _NFM(DeepFMEstimator):
-            model_forward = staticmethod(forward)
-            model_init = staticmethod(init_params)
-
-            def fit(self, Xi, Xv, y, Xi_valid=None, Xv_valid=None, y_valid=None,
-                    *, refit: bool = False, **kw):
-                super().fit(Xi, Xv, y, Xi_valid, Xv_valid, y_valid, **kw)
-                if refit and Xi_valid is not None and len(Xi_valid) > 0:
-                    # reference NFM.py:393-432: continue on train+valid combined
-                    self._log("refitting the model")
-                    Xi_all = np.concatenate([np.asarray(Xi, np.int32).reshape(-1, self.mcfg.num_categorical),
-                                             np.asarray(Xi_valid, np.int32).reshape(-1, self.mcfg.num_categorical)])
-                    Xv_all = np.concatenate([np.asarray(Xv, np.float32),
-                                             np.asarray(Xv_valid, np.float32)])
-                    y_all = np.concatenate([np.asarray(y, np.float32).ravel(),
-                                            np.asarray(y_valid, np.float32).ravel()])
-                    super().fit(Xi_all, Xv_all, y_all, [], [], [], **kw)
-                    self._log("refit finished")
-                return self
-
-        return _NFM(model_cfg, train_cfg, logger=logger)
+    def fit(self, Xi, Xv, y, Xi_valid=None, Xv_valid=None, y_valid=None,
+            *, refit: bool = False, **kw):
+        super().fit(Xi, Xv, y, Xi_valid, Xv_valid, y_valid, **kw)
+        if refit and Xi_valid is not None and len(Xi_valid) > 0:
+            # reference NFM.py:393-432: continue on train+valid combined
+            self._log("refitting the model")
+            c = self.mcfg.num_categorical
+            Xi_all = np.concatenate([np.asarray(Xi, np.int32).reshape(-1, c),
+                                     np.asarray(Xi_valid, np.int32).reshape(-1, c)])
+            Xv_all = np.concatenate([np.asarray(Xv, np.float32),
+                                     np.asarray(Xv_valid, np.float32)])
+            y_all = np.concatenate([np.asarray(y, np.float32).ravel(),
+                                    np.asarray(y_valid, np.float32).ravel()])
+            super().fit(Xi_all, Xv_all, y_all, [], [], [], **kw)
+            self._log("refit finished")
+        return self
