@@ -71,3 +71,29 @@ def test_min_max_scale():
     df = pd.DataFrame({"a": [0.0, 5.0, 10.0]})
     out = P.min_max_scale(df.copy(), ["a"])
     np.testing.assert_allclose(out["a"], [0.0, 0.5, 1.0])
+
+
+def test_preprocess_twitter_end_to_end(tmp_path):
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    n = 300
+    df = pd.DataFrame({
+        "reply": rng.integers(0, 2, n), "retweet": rng.integers(0, 2, n),
+        "retweet_comment": rng.integers(0, 2, n), "like": rng.integers(0, 2, n),
+        "d0": rng.random(n) * 100, "d1": rng.random(n) * 5,
+        "s0": rng.integers(0, 4, n).astype(str), "s1": rng.integers(0, 3, n).astype(str),
+    })
+    tr, va, te, maps = P.preprocess_twitter(
+        df, dense_features=["d0", "d1"], sparse_features=["s0", "s1"],
+        cutoff=2, out_dir=str(tmp_path))
+    assert len(tr) + len(va) + len(te) == n
+    assert tr["d0"].max() <= 1.0 and tr["d0"].min() >= 0.0
+    assert set(np.unique(tr["s0"])) <= set(range(10))
+    # reader contract: loads back through read_data_twitter
+    from xsdeepfwfm_deprecated_tpu.data.readers import read_data_twitter
+    d = read_data_twitter(str(tmp_path / "twitter_train_s.parquet"),
+                          str(tmp_path / "twitter_feature_map_s"),
+                          num_list=[1, 2], feature_dim_start=4, dim=4,
+                          twitter_category="like")
+    assert d["value"].shape[1] == 2
+    assert d["index"].shape[1] == 2

@@ -147,3 +147,47 @@ def min_max_scale(df, columns: Sequence[str]):
         rng = (hi - lo) or 1.0
         df[col] = (df[col] - lo) / rng
     return df
+
+
+def preprocess_twitter(df, *, dense_features: Sequence[str],
+                       sparse_features: Sequence[str],
+                       label_cols: Sequence[str] = ("reply", "retweet",
+                                                    "retweet_comment", "like"),
+                       cutoff: int = 8, valid_fraction: float = 0.1,
+                       test_fraction: float = 0.1, seed: int = 0,
+                       out_dir: Optional[str] = None):
+    """Twitter/RecSys preprocessing (reference ``data/large/preprocess_twitter.py``):
+    min-max scale the dense features, frequency-threshold (cutoff 8) map the
+    sparse features, random train/valid/test split, optional parquet output.
+
+    Returns (train_df, valid_df, test_df, feature_maps). Column order in the
+    output matches the reader contract: labels, dense, sparse.
+    """
+    df = df.copy()
+    df = min_max_scale(df, dense_features)
+    df, maps = preprocess_value_counts(df, sparse_features, cutoff=cutoff)
+
+    rng = np.random.default_rng(seed)
+    u = rng.random(len(df))
+    test_mask = u < test_fraction
+    valid_mask = (~test_mask) & (u < test_fraction + valid_fraction)
+    train_mask = ~(test_mask | valid_mask)
+    cols = list(label_cols) + list(dense_features) + list(sparse_features)
+    train_df = df.loc[train_mask, cols]
+    valid_df = df.loc[valid_mask, cols]
+    test_df = df.loc[test_mask, cols]
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        train_df.to_parquet(os.path.join(out_dir, "twitter_train_s.parquet"))
+        valid_df.to_parquet(os.path.join(out_dir, "twitter_valid_s.parquet"))
+        test_df.to_parquet(os.path.join(out_dir, "twitter_test_s.parquet"))
+        n_dense = len(dense_features)
+        with open(os.path.join(out_dir, "twitter_feature_map_s"), "w") as f:
+            # entries land at cate_dict[pos-4] for the reader's
+            # feature_dim_start=4; sparse fields follow the dense block
+            for j, col in enumerate(sparse_features):
+                pos = n_dense + j + 4
+                for raw, idx in maps[col].items():
+                    f.write(f"{pos},{raw},{idx}\n")
+    return train_df, valid_df, test_df, maps
