@@ -194,3 +194,18 @@ def test_steps_per_call_equivalent(tiny_criteo):
     for a, b in zip(__import__("jax").tree.leaves(results[1]),
                     __import__("jax").tree.leaves(results[4])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ffm_and_deep_only_train(tiny_criteo):
+    """FFM and deep-only families train end-to-end (smoke, small slices)."""
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 1024)
+    for flags in (dict(use_ffm=True), dict(use_deep=True)):
+        mcfg, tcfg = small_cfgs(train, field_size,
+                                train_kw=dict(n_epochs=1, batch_size=512),
+                                **flags)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+        p = est.predict_proba(train["index"][:64], train["value"][:64])
+        assert np.all(np.isfinite(p)), flags
