@@ -209,3 +209,27 @@ def test_ffm_and_deep_only_train(tiny_criteo):
         est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
         p = est.predict_proba(train["index"][:64], train["value"][:64])
         assert np.all(np.isfinite(p)), flags
+
+
+@pytest.mark.slow
+def test_qat_training_end_to_end(tiny_criteo):
+    """QAT: fake-quant training runs and converts to a close int8 model."""
+    import dataclasses
+    import jax.numpy as jnp
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                            train_kw=dict(n_epochs=2, batch_size=512))
+    mcfg = dataclasses.replace(mcfg, quantization_aware=True)
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+
+    # convert to a true int8 model (reference converts on eval, :751-755)
+    from xsdeepfwfm_deprecated_tpu.compression.quantization import (convert,
+                                                                    quantized_forward)
+    qm = convert(est.params, est.mcfg, mode="qat")
+    xi = jnp.asarray(train["index"][:256].astype(np.int32))
+    xv = jnp.asarray(train["value"][:256].astype(np.float32))
+    q_logits = np.asarray(quantized_forward(qm, xi, xv))
+    fp_logits = est._predict_logits(train["index"][:256], train["value"][:256])
+    assert np.corrcoef(q_logits, fp_logits)[0, 1] > 0.99
