@@ -45,16 +45,23 @@ params = jax.jit(lambda k: deepfwfm.init_params(k, cfg))(jax.random.PRNGKey(0))
 params = mesh_mod.pad_rows_for_mesh(params, mesh)
 params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
 spec = deepfwfm.make_embedding_spec(cfg)
-lookup = es.make_sharded_lookup(mesh, spec)
-
-B = 8 * mesh.shape["data"]
+exchange = {exchange!r}
+if exchange == "a2a" and mesh.shape["model"] > 1:
+    lookup = es.make_a2a_lookup(mesh, spec)
+    B = 8 * mesh.shape["data"] * mesh.shape["model"]
+else:
+    lookup = es.make_sharded_lookup(mesh, spec)
+    B = 8 * mesh.shape["data"]
 rng = np.random.default_rng(0)              # same global data on every host
 xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]], size=(B, 26)).astype(np.int32)
 xv = rng.normal(size=(B, 13)).astype(np.float32)
 y = (rng.random(B) < 0.3).astype(np.float32)
 
 # process-local shard → global array (the multi-host data-feeding path)
-s2, _, s1 = mesh_mod.batch_shardings(mesh)
+if exchange == "a2a" and mesh.shape["model"] > 1:
+    s2, s1 = es.a2a_batch_sharding(mesh)
+else:
+    s2, _, s1 = mesh_mod.batch_shardings(mesh)
 lo, hi = host_shard(B)
 xi_g = jax.make_array_from_process_local_data(s2, xi[lo:hi])
 xv_g = jax.make_array_from_process_local_data(s2, xv[lo:hi])
@@ -83,13 +90,15 @@ def main():
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--port", type=int, default=43219)
+    ap.add_argument("--exchange", choices=["psum", "a2a"], default="psum")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     procs = []
     for pid in range(args.procs):
         code = WORKER.format(repo=repo, dpp=args.devices_per_proc,
-                             port=args.port, procs=args.procs, pid=pid)
+                             port=args.port, procs=args.procs, pid=pid,
+                             exchange=args.exchange)
         procs.append(subprocess.Popen([sys.executable, "-c", code],
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
