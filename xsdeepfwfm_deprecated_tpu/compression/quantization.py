@@ -40,7 +40,13 @@ from ..ops import quantized as q_ops
 
 @dataclass
 class QuantizedModel:
-    """Converted int8 model: fp32 shallow params + int8 tables/MLP."""
+    """Converted int8 model: fp32 shallow params + int8 tables/MLP.
+
+    Registered as a JAX pytree (cfg/mode static) so it can be passed as a
+    jitted-function ARGUMENT — closing over multi-megabyte arrays bakes them
+    into the executable as constants, which costs minutes of compile and an
+    ~80× slower dispatch path (measured; see RESULTS.md).
+    """
     cfg: ModelConfig
     mode: str                       # dynamic | static | qat
     params_fp: Dict                 # bias / lw / fwlw / field_cov (fp32)
@@ -55,6 +61,16 @@ class QuantizedModel:
             if tree is not None:
                 total += sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
         return total
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedModel,
+    lambda m: ((m.params_fp, m.emb1_q, m.emb2_q, m.deep_q, m.act_scales),
+               (m.cfg, m.mode)),
+    lambda aux, kids: QuantizedModel(cfg=aux[0], mode=aux[1], params_fp=kids[0],
+                                     emb1_q=kids[1], emb2_q=kids[2],
+                                     deep_q=kids[3], act_scales=kids[4]),
+)
 
 
 def _quantize_tables(tables: Optional[Dict]) -> Optional[Dict]:

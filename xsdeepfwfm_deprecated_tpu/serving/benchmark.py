@@ -66,7 +66,7 @@ def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
     # times only the forward, after tensor construction (:1012-1028).
     bxi_d = jax.device_put(jax.numpy.asarray(bxi))
     bxv_d = jax.device_put(jax.numpy.asarray(bxv))
-    t_batch = simple_timeit(lambda: predictor._fn(bxi_d, bxv_d), tries=20)
+    t_batch = simple_timeit(lambda: predictor._fn(predictor._model, bxi_d, bxv_d), tries=20)
     results["batch_ms"] = t_batch * 1e3
     results["examples_per_s"] = batch_size / t_batch
     results["examples_per_s_per_chip"] = results["examples_per_s"] / max(jax.device_count(), 1)
@@ -77,7 +77,7 @@ def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
     # 4. single-example latency (reference :999-1009)
     xi1 = jax.numpy.asarray(Xi[:1])
     xv1 = jax.numpy.asarray(Xv[:1])
-    t_single = simple_timeit(lambda: predictor._fn(xi1, xv1),
+    t_single = simple_timeit(lambda: predictor._fn(predictor._model, xi1, xv1),
                              tries=min(n_single, 1000), warmup=3)
     results["single_example_ms"] = t_single * 1e3
     log("\tAvg forward pass time (ms):\t{:.3f}".format(results["single_example_ms"]))

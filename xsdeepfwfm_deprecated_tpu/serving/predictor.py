@@ -22,21 +22,25 @@ class Predictor:
     """Holds (params | QuantizedModel) + a compiled forward; batch or single-example."""
 
     def __init__(self, model: Union[Dict, QuantizedModel], cfg: Optional[ModelConfig] = None):
+        # the model is always a jitted-function ARGUMENT, never a closure —
+        # closed-over multi-MB arrays become graph constants (minutes of
+        # compile, ~80x slower dispatch; measured, see RESULTS.md)
         if isinstance(model, QuantizedModel):
             self.cfg = model.cfg
-            self._model = model
+            self._model = jax.device_put(model)
             fused = (jax.default_backend() == "tpu" and model.act_scales is None
                      and model.deep_q is not None)
-            self._fn = jax.jit(lambda xi, xv: quantized_forward(
-                model, xi, xv, use_fused_kernel=fused))
+            self._fn = jax.jit(lambda m, xi, xv: quantized_forward(
+                m, xi, xv, use_fused_kernel=fused))
         else:
             assert cfg is not None, "fp32 params need an explicit ModelConfig"
             self.cfg = cfg
-            self._model = model
-            self._fn = jax.jit(lambda xi, xv: deepfwfm.forward(model, xi, xv, cfg))
+            self._model = jax.device_put(model)
+            self._fn = jax.jit(lambda p, xi, xv: deepfwfm.forward(p, xi, xv, cfg))
 
     def logits(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
-        return np.asarray(self._fn(jnp.asarray(xi, jnp.int32), jnp.asarray(xv, jnp.float32)))
+        return np.asarray(self._fn(self._model, jnp.asarray(xi, jnp.int32),
+                                   jnp.asarray(xv, jnp.float32)))
 
     def predict_proba(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
         return 1.0 / (1.0 + np.exp(-self.logits(xi, xv).astype(np.float64)))
@@ -51,5 +55,6 @@ class Predictor:
         for b in batch_sizes:
             xi = np.zeros((b, c), np.int32)
             xv = np.zeros((b, n), np.float32)
-            jax.block_until_ready(self._fn(jnp.asarray(xi), jnp.asarray(xv)))
+            jax.block_until_ready(self._fn(self._model, jnp.asarray(xi),
+                                           jnp.asarray(xv)))
         return self
