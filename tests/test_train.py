@@ -233,3 +233,31 @@ def test_qat_training_end_to_end(tiny_criteo):
     q_logits = np.asarray(quantized_forward(qm, xi, xv))
     fp_logits = est._predict_logits(train["index"][:256], train["value"][:256])
     assert np.corrcoef(q_logits, fp_logits)[0, 1] > 0.99
+
+
+def test_scanned_eval_matches_per_batch(tiny_criteo):
+    """The K-batches-per-dispatch scanned eval returns bitwise-same logits as
+    the per-batch path, across scan groups, full remainder batches, and a
+    padded partial tail."""
+    from xsdeepfwfm_deprecated_tpu.train.trainer import EVAL_SCAN_K
+
+    field_size, train, _, _ = tiny_criteo
+    mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                            train_kw=dict(eval_batch_size=64))
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.init_params()
+
+    bs = tcfg.eval_batch_size
+    # one scan group + one full batch + a partial tail
+    n = EVAL_SCAN_K * bs + bs + 17
+    xi, xv = train["index"][:n], train["value"][:n]
+    got = est._predict_logits(xi, xv)
+    assert got.shape == (n,)
+
+    import jax.numpy as jnp
+    want = []
+    for lo in range(0, n, bs):
+        want.append(np.asarray(est.eval_fn(
+            est.params, jnp.asarray(xi[lo:lo + bs].astype(np.int32)),
+            jnp.asarray(xv[lo:lo + bs].astype(np.float32)))))
+    np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-6, atol=1e-6)

@@ -144,6 +144,27 @@ def make_eval_fn(mcfg: ModelConfig, forward_fn=None):
     return eval_fn
 
 
+EVAL_SCAN_K = 8
+
+
+def make_scan_eval_fn(mcfg: ModelConfig, forward_fn=None):
+    """K eval batches per dispatch via ``lax.scan`` over stacked ``(K, B, ...)``
+    inputs → ``(K, B)`` logits. The eval-side counterpart of
+    :func:`make_multi_step`: the reference dispatches one forward per 8192-row
+    batch (``model/DeepFMs.py:765-776``); scanning K batches per launch cuts
+    dispatch count K× — which is RTT-bound on remote-attached chips."""
+    forward_fn = forward_fn or deepfwfm.forward
+
+    @jax.jit
+    def scan_eval(params, xi_k, xv_k):
+        def body(_, batch):
+            xi, xv = batch
+            return None, forward_fn(params, xi, xv, mcfg, train=False)
+        _, logits = jax.lax.scan(body, None, (xi_k, xv_k))
+        return logits
+    return scan_eval
+
+
 class DeepFMEstimator:
     """sklearn-estimator-shaped wrapper (reference ``DeepFMs`` public surface).
 
@@ -163,6 +184,7 @@ class DeepFMEstimator:
         self.params: Optional[Dict] = None
         self.opt_state = None
         self._eval_fn = None
+        self._scan_eval_fn = None
         self._step = 0
         self.train_result: list = []
         self.valid_result: list = []
@@ -185,6 +207,12 @@ class DeepFMEstimator:
         if self._eval_fn is None:
             self._eval_fn = make_eval_fn(self.mcfg, type(self).model_forward)
         return self._eval_fn
+
+    @property
+    def scan_eval_fn(self):
+        if self._scan_eval_fn is None:
+            self._scan_eval_fn = make_scan_eval_fn(self.mcfg, type(self).model_forward)
+        return self._scan_eval_fn
 
     # ------------------------------------------------------------------- fit
 
@@ -378,14 +406,22 @@ class DeepFMEstimator:
         """Batched forward → host logits (eval mode, padded tail)."""
         bs = batch_size or (self.tcfg.eval_batch_size * (2 if self.mcfg.use_ffm else 1))
         Xi = np.asarray(Xi, dtype=np.int32).reshape(-1, self.mcfg.num_categorical)
-        Xv = np.asarray(Xv, dtype=np.float32)
+        Xv = np.asarray(Xv, dtype=np.float32).reshape(Xi.shape[0], -1)
         pending = []   # dispatch everything async, fetch once at the end
-        dummy_y = np.zeros(Xi.shape[0], dtype=np.float32)
+        # full-batch groups go K batches per dispatch through the scanned eval
+        k, n = EVAL_SCAN_K, Xi.shape[0]
+        pos, group = 0, EVAL_SCAN_K * bs
+        while n - pos >= group:
+            xi_k = jnp.asarray(Xi[pos:pos + group].reshape(k, bs, -1))
+            xv_k = jnp.asarray(Xv[pos:pos + group].reshape(k, bs, -1))
+            pending.append((self.scan_eval_fn(self.params, xi_k, xv_k), group))
+            pos += group
+        dummy_y = np.zeros(n - pos, dtype=np.float32)
         for batch in batching.prefetch_to_device(
-                batching.iter_batches(Xi, Xv, dummy_y, bs)):
+                batching.iter_batches(Xi[pos:], Xv[pos:], dummy_y, bs)):
             logits = self.eval_fn(self.params, batch["xi"], batch["xv"])
             pending.append((logits, batch["n_valid"]))
-        out = [np.asarray(lg)[:nv] for lg, nv in pending]
+        out = [np.asarray(lg).reshape(-1)[:nv] for lg, nv in pending]
         return np.concatenate(out) if out else np.zeros((0,), np.float32)
 
     def eval_by_batch(self, Xi, Xv, y) -> Tuple[float, float, float, float]:
