@@ -40,18 +40,30 @@ def read_data(file_path: str, emb_file: Optional[str], num_list: Sequence[int],
     Parity with reference ``utils/data_preprocess.py:54-72``. If ``emb_file`` is
     None (missing-map case, e.g. tiny-criteo), feature sizes are derived from
     the data itself via max-index+1.
+
+    Ingest runs through the native C++ loader (``native/dataloader``) when
+    built — memory-mapped multithreaded parsing instead of ``np.loadtxt`` —
+    falling back to numpy transparently.
     """
     num_set = sorted(set(num_list))
     n_num = len(num_set)
-    data = np.loadtxt(file_path, delimiter=",", dtype=np.float64,
-                      skiprows=1 if skip_header else 0)
-    if data.ndim == 1:
-        data = data[None, :]
-    label = data[:, 0]
-    num_cols = list(num_set)                       # 1-based column positions
-    cat_cols = [i for i in range(1, data.shape[1]) if i not in set(num_cols)]
-    value = data[:, num_cols]
-    index = data[:, cat_cols].astype(np.int64)
+    label = value = index = None
+    from . import native_loader
+    if native_loader.available():
+        try:
+            label, value, index = native_loader.read_csv_arrays(file_path, num_set)
+        except (RuntimeError, IOError, ValueError):
+            label = None
+    if label is None:
+        data = np.loadtxt(file_path, delimiter=",", dtype=np.float64,
+                          skiprows=1 if skip_header else 0)
+        if data.ndim == 1:
+            data = data[None, :]
+        label = data[:, 0]
+        num_cols = list(num_set)                   # 1-based column positions
+        cat_cols = [i for i in range(1, data.shape[1]) if i not in set(num_cols)]
+        value = data[:, num_cols]
+        index = data[:, cat_cols].astype(np.int64)
 
     if emb_file is not None:
         cate_dict = load_category_index(emb_file, feature_dim_start, dim)
@@ -64,21 +76,31 @@ def read_data(file_path: str, emb_file: Optional[str], num_list: Sequence[int],
 def read_data_ali(file_path: str, emb_file: str, num_list: Sequence[int],
                   feature_dim_start: int = 1, dim: int = 20) -> Batch:
     """Ali/Avazu CSV variant (reference ``:75-117``): same layout, skips a
-    header row whose label cell is ``y2``, indices stored as floats."""
+    header row whose label cell is ``y2``, indices stored as floats. Uses the
+    native C++ loader when built (non-numeric header rows are skipped by the
+    same first-cell criterion)."""
     num_set = sorted(set(num_list))
-    rows = []
-    with open(file_path) as f:
-        for line in f:
-            parts = line.strip().split(",")
-            if not parts or parts[0] == "y2":
-                continue
-            rows.append([float(x) for x in parts])
-    data = np.asarray(rows, dtype=np.float64)
-    label = data[:, 0]
-    num_cols = list(num_set)
-    cat_cols = [i for i in range(1, data.shape[1]) if i not in set(num_cols)]
-    value = data[:, num_cols]
-    index = data[:, cat_cols].astype(np.int64)
+    label = value = index = None
+    from . import native_loader
+    if native_loader.available():
+        try:
+            label, value, index = native_loader.read_csv_arrays(file_path, num_set)
+        except (RuntimeError, IOError, ValueError):
+            label = None
+    if label is None:
+        rows = []
+        with open(file_path) as f:
+            for line in f:
+                parts = line.strip().split(",")
+                if not parts or parts[0] == "y2":
+                    continue
+                rows.append([float(x) for x in parts])
+        data = np.asarray(rows, dtype=np.float64)
+        label = data[:, 0]
+        num_cols = list(num_set)
+        cat_cols = [i for i in range(1, data.shape[1]) if i not in set(num_cols)]
+        value = data[:, num_cols]
+        index = data[:, cat_cols].astype(np.int64)
     cate_dict = load_category_index(emb_file, feature_dim_start, dim)
     feature_sizes = feature_sizes_from_map(cate_dict, num_set)
     return _finalize(label, value, index, feature_sizes)
