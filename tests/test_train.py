@@ -261,3 +261,37 @@ def test_scanned_eval_matches_per_batch(tiny_criteo):
             est.params, jnp.asarray(xi[lo:lo + bs].astype(np.int32)),
             jnp.asarray(xv[lo:lo + bs].astype(np.float32)))))
     np.testing.assert_allclose(got, np.concatenate(want), rtol=1e-6, atol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """orbax backend: async save → durable dir; full and params-only restore;
+    load_checkpoint auto-detects the .orbax directory."""
+    import optax
+    from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
+
+    params = {"w": np.arange(12, dtype=np.float32).reshape(3, 4),
+              "b": {"x": np.float32(2.0)}}
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    p = str(tmp_path / "model")
+    ckpt.save_checkpoint(p, params, state, step=7, epoch=3, backend="orbax",
+                         metadata={"model": "test"})
+    ckpt.wait_for_saves()
+
+    tmpl = {"w": np.zeros((3, 4), np.float32), "b": {"x": np.float32(0.0)}}
+    rp, rs, meta = ckpt.load_checkpoint(p, tmpl, opt.init(tmpl))
+    np.testing.assert_array_equal(rp["w"], params["w"])
+    assert meta["step"] == 7 and meta["epoch"] == 3
+    assert rs is not None
+
+    rp2, rs2, _ = ckpt.load_checkpoint(p, tmpl)   # params-only restore
+    np.testing.assert_array_equal(rp2["w"], params["w"])
+    assert rs2 is None
+
+    # per-epoch overwrite (force=True path)
+    params["w"] = params["w"] + 1.0
+    ckpt.save_checkpoint(p, params, state, step=8, epoch=4, backend="orbax")
+    ckpt.wait_for_saves()
+    rp3, _, meta3 = ckpt.load_checkpoint(p, tmpl)
+    np.testing.assert_array_equal(rp3["w"], params["w"])
+    assert meta3["epoch"] == 4

@@ -156,6 +156,7 @@ class TrainConfig:
     eval_batch_size: int = 8192      # reference eval_by_batch (:760-763)
     verbose: bool = False
     save_model_path: Optional[str] = None
+    checkpoint_backend: str = "npz"  # npz | orbax (async, multi-host writes)
 
     def adaptive_sparse(self, n_iter: int) -> float:
         """Adaptive pruning schedule s_t = S * (1 - D^(t/Ω)) (reference :649)."""

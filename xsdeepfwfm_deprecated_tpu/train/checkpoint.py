@@ -63,10 +63,24 @@ def _decode(data, key: str) -> Optional[np.ndarray]:
 
 def save_checkpoint(path: str, params: Any, opt_state: Any = None, *,
                     step: int = 0, epoch: int = 0,
-                    metadata: Optional[Dict] = None, sparse: bool = False) -> None:
+                    metadata: Optional[Dict] = None, sparse: bool = False,
+                    backend: str = "npz") -> None:
     """Write ``<path>.npz`` (+ ``<path>.meta.json``). ``sparse=True`` stores
-    mostly-zero (pruned) arrays in COO form for DeepLight-style size wins."""
+    mostly-zero (pruned) arrays in COO form for DeepLight-style size wins.
+
+    ``backend="orbax"`` writes an orbax directory ``<path>.orbax`` instead —
+    async save (the train loop doesn't block on serialization) and
+    multi-host-partitioned writes for row-sharded tables. COO-sparse encoding
+    stays npz-only."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    if backend == "orbax":
+        _orbax_save(path, {"params": params} if opt_state is None
+                    else {"params": params, "opt": opt_state})
+        meta = dict(metadata or {})
+        meta.update({"step": int(step), "epoch": int(epoch)})
+        with open(_meta_path(path), "w") as f:
+            json.dump(meta, f, indent=2)
+        return
     arrays = _encode({"params::" + k: v for k, v in _flatten(params).items()}, sparse)
     if opt_state is not None:
         arrays.update(_encode({"opt::" + k: v for k, v in _flatten(opt_state).items()},
@@ -83,15 +97,74 @@ def _meta_path(path: str) -> str:
     return base + ".meta.json"
 
 
+def _orbax_dir(path: str) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return os.path.abspath(base + ".orbax")
+
+
+_orbax_ckptr = None
+
+
+def _get_orbax():
+    global _orbax_ckptr
+    if _orbax_ckptr is None:
+        import orbax.checkpoint as ocp
+        _orbax_ckptr = ocp.StandardCheckpointer()
+    return _orbax_ckptr
+
+
+def _as_arrays(tree: Any) -> Any:
+    # orbax rejects bare numpy scalars — normalize every leaf to an ndarray
+    return jax.tree.map(np.asarray, tree)
+
+
+def _orbax_save(path: str, tree: Any) -> None:
+    ckptr = _get_orbax()
+    ckptr.save(_orbax_dir(path), _as_arrays(tree), force=True)
+
+
+def wait_for_saves() -> None:
+    """Block until pending async (orbax) saves are durable — call before
+    process exit or before reading a just-written checkpoint."""
+    if _orbax_ckptr is not None:
+        _orbax_ckptr.wait_until_finished()
+
+
 def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = None,
                     *, strict: bool = True) -> Tuple[Any, Any, Dict]:
     """Restore (params, opt_state, metadata) shaped like the given templates.
 
     ``strict=False`` tolerates missing entries (keeps template values), the
     counterpart of the reference's sparse-checkpoint load
-    (``utils/util.py:45-55``).
+    (``utils/util.py:45-55``). Orbax-backend checkpoints (``<path>.orbax``
+    directories) are detected and restored automatically.
     """
     npz_path = path if path.endswith(".npz") else path + ".npz"
+    if not os.path.exists(npz_path) and os.path.isdir(_orbax_dir(path)):
+        wait_for_saves()
+        if opt_state_template is not None:
+            out = _get_orbax().restore(
+                _orbax_dir(path),
+                _as_arrays({"params": params_template, "opt": opt_state_template}))
+            out = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(
+                    {"params": params_template, "opt": opt_state_template}),
+                jax.tree.leaves(out))
+            params, opt_state = out["params"], out["opt"]
+        else:
+            # params-only restore from a full checkpoint: raw-restore, then
+            # coerce the params subtree onto the template (dtype-preserving)
+            raw = _get_orbax().restore(_orbax_dir(path))
+            params = jax.tree.map(
+                lambda t, v: (jax.numpy.asarray(v, t.dtype)
+                              if hasattr(t, "dtype") else v),
+                params_template, raw["params"])
+            opt_state = None
+        meta: Dict = {}
+        if os.path.exists(_meta_path(path)):
+            with open(_meta_path(path)) as f:
+                meta = json.load(f)
+        return params, opt_state, meta
     data = np.load(npz_path)
 
     def restore(template: Any, prefix: str) -> Any:

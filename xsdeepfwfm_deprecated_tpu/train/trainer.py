@@ -397,6 +397,7 @@ class DeepFMEstimator:
             self._log(f"Non pruned model parameters: \t{num_total_original:,}")
             self._log(f"Pruned Parameters: \t{num_total_original - counts['total']:,}")
             self._log("========")
+        ckpt.wait_for_saves()   # async (orbax) saves durable before returning
         return self
 
     # ------------------------------------------------------------------ eval
@@ -463,7 +464,8 @@ class DeepFMEstimator:
 
     def save(self, path: str, epoch: int = 0, sparse: bool = False):
         ckpt.save_checkpoint(path, self.params, self.opt_state, step=self._step,
-                             epoch=epoch, sparse=sparse, metadata={
+                             epoch=epoch, sparse=sparse,
+                             backend=self.tcfg.checkpoint_backend, metadata={
                                  "model": self.mcfg.model_name,
                                  "field_size": self.mcfg.field_size,
                                  "sparse": self.tcfg.sparse,
