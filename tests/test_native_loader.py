@@ -66,6 +66,40 @@ def test_read_data_ali_native_equals_numpy(lib_ok, tmp_path, monkeypatch):
         np.testing.assert_array_equal(native[k], plain[k])
 
 
+def test_large_indices_exact(lib_ok, tmp_path):
+    """Categorical indices above 2^24 must survive exactly (an all-float parse
+    would round 16777217 -> 16777216 — the reference uses exact int(item),
+    utils/data_preprocess.py:64)."""
+    p = tmp_path / "big.csv"
+    p.write_text("1,0.5,16777217,99999999\n0,1.5,2147483647,33554433\n")
+    label, value, index = native_loader.read_csv_arrays(str(p), [1])
+    np.testing.assert_array_equal(index, [[16777217, 99999999],
+                                          [2147483647, 33554433]])
+
+
+def test_malformed_rows_raise(lib_ok, tmp_path):
+    """Short rows and unparseable cells raise (fall back to strict numpy)
+    instead of silently zero-filling."""
+    short = tmp_path / "short.csv"
+    short.write_text("1,0.5,3,4\n0,1.5,7\n")          # ragged second row
+    with pytest.raises(IOError):
+        native_loader.read_csv_arrays(str(short), [1])
+    garbled = tmp_path / "garbled.csv"
+    garbled.write_text("1,0.5,3,4\n0,1.5,x7,8\n")     # non-numeric cell
+    with pytest.raises(IOError):
+        native_loader.read_csv_arrays(str(garbled), [1])
+
+
+def test_read_data_skip_header_bypasses_native(lib_ok, tmp_path):
+    """skip_header=True must not route through the native loader (a NUMERIC
+    header row would pass its first-cell check and be ingested as data)."""
+    p = tmp_path / "numhdr.csv"
+    p.write_text("0,1,2,3\n1,0.5,3,4\n0,1.5,7,8\n")   # numeric 'header' row
+    batch = readers.read_data(str(p), None, [1], skip_header=True)
+    assert batch["label"].shape == (2,)
+    np.testing.assert_array_equal(batch["label"], [1, 0])
+
+
 def test_throughput_counts_rows(lib_ok, tmp_path):
     """Loader handles a wide file with many rows; row count exact."""
     rng = np.random.default_rng(0)

@@ -295,3 +295,53 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     rp3, _, meta3 = ckpt.load_checkpoint(p, tmpl)
     np.testing.assert_array_equal(rp3["w"], params["w"])
     assert meta3["epoch"] == 4
+
+
+def test_orbax_opt_state_values_nonalphabetical_namedtuple(tmp_path):
+    """Restored opt_state leaf VALUES land on the right namedtuple fields even
+    when field order isn't alphabetical (orbax hands namedtuples back as
+    key-sorted dicts; a flat-leaf-order rebuild would swap them)."""
+    import jax.numpy as jnp
+    import optax
+    from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
+
+    params = {"w": np.full((2, 2), 3.0, np.float32)}
+    # ApplyIfFiniteState fields: notfinite_count, last_finite, total_notfinite,
+    # inner_state — NOT alphabetical
+    opt = optax.apply_if_finite(optax.adam(1e-3), 5)
+    state = opt.init(params)
+    state = state._replace(notfinite_count=jnp.asarray(7),
+                           total_notfinite=jnp.asarray(9))
+    p = str(tmp_path / "naf")
+    ckpt.save_checkpoint(p, params, state, step=1, epoch=0, backend="orbax")
+    ckpt.wait_for_saves()
+
+    tmpl = {"w": np.zeros((2, 2), np.float32)}
+    rp, rs, _ = ckpt.load_checkpoint(p, tmpl, opt.init(tmpl))
+    assert int(rs.notfinite_count) == 7
+    assert int(rs.total_notfinite) == 9
+    # adam moments buried inside inner_state restore to the right leaves
+    mu = rs.inner_state[0].mu["w"]
+    np.testing.assert_array_equal(np.asarray(mu), np.zeros((2, 2), np.float32))
+    np.testing.assert_array_equal(rp["w"], params["w"])
+
+
+def test_orbax_strict_false_partial_restore(tmp_path):
+    """strict=False keeps template values for entries missing from an orbax
+    checkpoint; strict=True raises (parity with the npz backend and the
+    reference's strict=False sparse load, utils/util.py:45-55)."""
+    import pytest
+    from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    p = str(tmp_path / "partial")
+    ckpt.save_checkpoint(p, params, None, backend="orbax")
+    ckpt.wait_for_saves()
+
+    bigger = {"w": np.zeros((2, 2), np.float32),
+              "extra": np.full((3,), 5.0, np.float32)}
+    rp, _, _ = ckpt.load_checkpoint(p, bigger, strict=False)
+    np.testing.assert_array_equal(rp["w"], params["w"])
+    np.testing.assert_array_equal(rp["extra"], bigger["extra"])
+    with pytest.raises(KeyError):
+        ckpt.load_checkpoint(p, bigger, strict=True)

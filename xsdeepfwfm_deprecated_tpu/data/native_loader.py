@@ -40,8 +40,8 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.csv_count_rows.restype = ctypes.c_int64
         lib.csv_count_rows.argtypes = [ctypes.c_char_p]
-        lib.csv_load.restype = ctypes.c_int64
-        lib.csv_load.argtypes = [
+        lib.csv_load_v2.restype = ctypes.c_int64
+        lib.csv_load_v2.argtypes = [
             ctypes.c_char_p,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int32,
@@ -49,6 +49,7 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         return lib
@@ -79,6 +80,11 @@ def read_csv_arrays(path: str, num_cols: Sequence[int]
     label; remaining columns are categorical indices, ascending order) — the
     exact layout of the reference readers. Header rows whose first cell is
     non-numeric are skipped, like the reference's ``y2`` check (``:73``).
+
+    Malformed input (unparseable cells, short/ragged rows, indices outside
+    int32) raises ``IOError`` instead of silently zero-filling — callers fall
+    back to the strict numpy reader, matching the reference's fail-loud
+    ``int(item)``/``float(item)`` row loops.
     """
     lib = _ensure_built()
     if lib is None:
@@ -97,8 +103,12 @@ def read_csv_arrays(path: str, num_cols: Sequence[int]
     label = np.empty(n_rows, dtype=np.float32)
     value = np.empty((n_rows, n_value), dtype=np.float32)
     index = np.empty((n_rows, n_index), dtype=np.int32)
-    got = lib.csv_load(path.encode(), role, n_cols, label,
-                       value.reshape(-1), index.reshape(-1), n_rows)
+    n_bad = ctypes.c_int64(0)
+    got = lib.csv_load_v2(path.encode(), role, n_cols, label,
+                          value.reshape(-1), index.reshape(-1), n_rows,
+                          ctypes.byref(n_bad))
     if got != n_rows:
         raise IOError(f"parsed {got}/{n_rows} rows from {path}")
+    if n_bad.value > 0:
+        raise IOError(f"{n_bad.value} malformed cells/rows in {path}")
     return label, value, index

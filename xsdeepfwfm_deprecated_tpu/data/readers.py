@@ -49,7 +49,9 @@ def read_data(file_path: str, emb_file: Optional[str], num_list: Sequence[int],
     n_num = len(num_set)
     label = value = index = None
     from . import native_loader
-    if native_loader.available():
+    # the native loader drops rows by the first-cell-numeric criterion, which
+    # would ingest a NUMERIC header row — bypass it when skip_header is set
+    if not skip_header and native_loader.available():
         try:
             label, value, index = native_loader.read_csv_arrays(file_path, num_set)
         except (RuntimeError, IOError, ValueError):

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -74,12 +76,10 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None, *,
     stays npz-only."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     if backend == "orbax":
-        _orbax_save(path, {"params": params} if opt_state is None
-                    else {"params": params, "opt": opt_state})
         meta = dict(metadata or {})
         meta.update({"step": int(step), "epoch": int(epoch)})
-        with open(_meta_path(path), "w") as f:
-            json.dump(meta, f, indent=2)
+        _orbax_save(path, {"params": params} if opt_state is None
+                    else {"params": params, "opt": opt_state}, meta)
         return
     arrays = _encode({"params::" + k: v for k, v in _flatten(params).items()}, sparse)
     if opt_state is not None:
@@ -103,6 +103,8 @@ def _orbax_dir(path: str) -> str:
 
 
 _orbax_ckptr = None
+_pending_commits: list = []       # finalizer threads for in-flight async saves
+_commit_lock = threading.Lock()
 
 
 def _get_orbax():
@@ -118,9 +120,30 @@ def _as_arrays(tree: Any) -> Any:
     return jax.tree.map(np.asarray, tree)
 
 
-def _orbax_save(path: str, tree: Any) -> None:
+def _orbax_save(path: str, tree: Any, meta: Dict) -> None:
+    """Crash-consistent async save: write to ``<dir>.tmp``, then (on a
+    finalizer thread, after the async write commits) atomically swap it in and
+    write ``meta.json`` LAST. A crash mid-save leaves the previous checkpoint
+    + metadata intact instead of fresh metadata over a missing/partial dir."""
     ckptr = _get_orbax()
-    ckptr.save(_orbax_dir(path), _as_arrays(tree), force=True)
+    final_dir = _orbax_dir(path)
+    tmp_dir = final_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    ckptr.save(tmp_dir, _as_arrays(tree), force=True)
+
+    def finalize():
+        ckptr.wait_until_finished()
+        with _commit_lock:
+            if os.path.isdir(final_dir):
+                shutil.rmtree(final_dir)
+            os.replace(tmp_dir, final_dir)
+            with open(_meta_path(path), "w") as f:
+                json.dump(meta, f, indent=2)
+
+    t = threading.Thread(target=finalize, daemon=False)
+    t.start()
+    _pending_commits.append(t)
 
 
 def wait_for_saves() -> None:
@@ -128,6 +151,53 @@ def wait_for_saves() -> None:
     process exit or before reading a just-written checkpoint."""
     if _orbax_ckptr is not None:
         _orbax_ckptr.wait_until_finished()
+    while _pending_commits:
+        _pending_commits.pop().join()
+
+
+def _map_onto_template(template: Any, raw: Any, *, strict: bool,
+                       prefix: str) -> Any:
+    """Rebuild ``template``'s pytree from a raw orbax-restored nest by key
+    path. Handles orbax's dict-for-namedtuple representation (``GetAttrKey``
+    fields looked up by name) and, with ``strict=False``, keeps template
+    leaves for entries missing from the checkpoint (sparse/partial restore,
+    the reference's ``strict=False`` load, ``utils/util.py:45-55``)."""
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    _MISSING = object()
+
+    def descend(node, key):
+        if node is _MISSING or node is None:
+            return _MISSING
+        name = getattr(key, "key", getattr(key, "name", None))
+        idx = getattr(key, "idx", None)
+        if isinstance(node, dict):
+            if name is not None and name in node:
+                return node[name]
+            if idx is not None:  # tuple saved as {'0': ..., '1': ...}
+                return node.get(str(idx), _MISSING)
+            return _MISSING
+        if isinstance(node, (list, tuple)) and idx is not None and idx < len(node):
+            return node[idx]
+        if name is not None and hasattr(node, str(name)):
+            return getattr(node, str(name))
+        return _MISSING
+
+    new_leaves = []
+    for p, leaf in leaves_with_path:
+        val = raw if raw is not None else _MISSING
+        for key in p:
+            val = descend(val, key)
+        if val is _MISSING:
+            if strict:
+                name = prefix + "/" + "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+                    for k in p)
+                raise KeyError(f"checkpoint missing {name}")
+            new_leaves.append(leaf)
+        else:
+            new_leaves.append(jax.numpy.asarray(val, dtype=leaf.dtype)
+                              if hasattr(leaf, "dtype") else val)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
 def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = None,
@@ -142,24 +212,18 @@ def load_checkpoint(path: str, params_template: Any, opt_state_template: Any = N
     npz_path = path if path.endswith(".npz") else path + ".npz"
     if not os.path.exists(npz_path) and os.path.isdir(_orbax_dir(path)):
         wait_for_saves()
+        # Raw-restore, then map values onto the templates BY KEY PATH: orbax
+        # may hand namedtuples back as (alphabetically key-sorted) dicts, so
+        # flat-leaf-order unflattening would silently swap fields of any
+        # namedtuple whose field order isn't alphabetical (e.g.
+        # optax.apply_if_finite's state).
+        raw = _get_orbax().restore(_orbax_dir(path))
+        params = _map_onto_template(params_template, raw.get("params"),
+                                    strict=strict, prefix="params")
+        opt_state = None
         if opt_state_template is not None:
-            out = _get_orbax().restore(
-                _orbax_dir(path),
-                _as_arrays({"params": params_template, "opt": opt_state_template}))
-            out = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(
-                    {"params": params_template, "opt": opt_state_template}),
-                jax.tree.leaves(out))
-            params, opt_state = out["params"], out["opt"]
-        else:
-            # params-only restore from a full checkpoint: raw-restore, then
-            # coerce the params subtree onto the template (dtype-preserving)
-            raw = _get_orbax().restore(_orbax_dir(path))
-            params = jax.tree.map(
-                lambda t, v: (jax.numpy.asarray(v, t.dtype)
-                              if hasattr(t, "dtype") else v),
-                params_template, raw["params"])
-            opt_state = None
+            opt_state = _map_onto_template(opt_state_template, raw.get("opt"),
+                                           strict=strict, prefix="opt")
         meta: Dict = {}
         if os.path.exists(_meta_path(path)):
             with open(_meta_path(path)) as f:
