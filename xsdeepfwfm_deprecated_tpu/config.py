@@ -151,6 +151,11 @@ class TrainConfig:
     kd_temperature: float = 20.0
 
     steps_per_call: int = 1          # K optimizer steps per device dispatch (lax.scan)
+    # Multi-chip mesh (TPU extension; the reference has no distribution story,
+    # SURVEY §5.8). mesh_data=0 means "all remaining devices".
+    mesh_data: int = 1               # data-parallel mesh axis size
+    mesh_model: int = 1              # model-parallel axis (embedding row sharding)
+    exchange: str = "a2a"            # lookup exchange when mesh_model > 1: a2a | psum
     early_stopping: bool = False
     greater_is_better: bool = True
     eval_batch_size: int = 8192      # reference eval_by_batch (:760-763)
@@ -227,8 +232,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Adaptive-schedule Omega (TPU extension; reference hardcodes 100)")
     p.add_argument("-steps_per_call", default=1, type=int,
                    help="Optimizer steps per device dispatch (TPU extension)")
-    p.add_argument("-mesh_data", default=0, type=int, help="Data-parallel mesh axis size (0 = all devices)")
-    p.add_argument("-mesh_model", default=1, type=int, help="Model-parallel mesh axis size (embedding row sharding)")
+    p.add_argument("-mesh_data", default=1, type=int,
+                   help="Data-parallel mesh axis size (1 = no data sharding, 0 = all remaining devices)")
+    p.add_argument("-mesh_model", default=1, type=int,
+                   help="Model-parallel mesh axis size (embedding row sharding)")
+    p.add_argument("-exchange", default="a2a", type=str, choices=["a2a", "psum"],
+                   help="Sharded embedding-lookup exchange (used when -mesh_model > 1)")
     return p
 
 
@@ -280,6 +289,9 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         kd=bool(pars.kd),
         prune_omega=getattr(pars, "prune_omega", 100.0),
         steps_per_call=getattr(pars, "steps_per_call", 1),
+        mesh_data=getattr(pars, "mesh_data", 1),
+        mesh_model=getattr(pars, "mesh_model", 1),
+        exchange=getattr(pars, "exchange", "a2a"),
         save_model_path=(pars.save_model_path if pars.save_model_path not in (0, "0") else None),
     )
     return mcfg, tcfg

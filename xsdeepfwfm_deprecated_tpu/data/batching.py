@@ -53,21 +53,26 @@ def pad_batch_count(n: int, batch_size: int) -> int:
     return -(-n // batch_size)
 
 
-def prefetch_to_device(batch_iter, size: int = 2):
+def prefetch_to_device(batch_iter, size: int = 2, shardings=None):
     """Double-buffered device prefetch: overlap H2D transfer with compute.
 
     The reference pays a synchronous H2D copy per batch
     (``model/DeepFMs.py:619-623``); here the next batch's transfer is issued
     while the current step runs. Yields dict batches whose array values are
-    already on the default device.
+    already on the default device — or, when ``shardings`` (a dict mapping
+    batch keys to ``jax.sharding.Sharding``) is given, already laid out across
+    the mesh so the jitted step sees its expected input shardings with no
+    resharding collective.
     """
     import collections
     import jax
 
     queue = collections.deque()
+    shardings = shardings or {}
 
     def put(b):
-        queue.append({k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+        queue.append({k: (jax.device_put(v, shardings.get(k))
+                          if isinstance(v, np.ndarray) else v)
                       for k, v in b.items()})
 
     it = iter(batch_iter)

@@ -83,16 +83,18 @@ def _activation(name: str):
 
 
 def forward(params: Dict, xi: jax.Array, xv: jax.Array, cfg: NFMConfig, *,
-            train: bool = False, rng: Optional[jax.Array] = None) -> jax.Array:
+            train: bool = False, rng: Optional[jax.Array] = None,
+            lookup_fn=None) -> jax.Array:
     spec = make_spec(cfg)
+    lookup = lookup_fn or emb_ops.packed_lookup
     b = xi.shape[0]
     rngs = (jax.random.split(rng, 2) if (train and rng is not None) else [None, None])
 
-    first_order = emb_ops.packed_lookup(params["emb1"], spec, xi, xv)[..., 0]  # (B, F)
+    first_order = lookup(params["emb1"], spec, xi, xv)[..., 0]  # (B, F)
     if cfg.is_shallow_dropout and cfg.dropout_shallow[0] > 0:
         first_order = mlp_ops.dropout(rngs[0], first_order, cfg.dropout_shallow[0], train)
 
-    emb2 = emb_ops.packed_lookup(params["emb2"], spec, xi, xv)                 # (B, F, E)
+    emb2 = lookup(params["emb2"], spec, xi, xv)                 # (B, F, E)
     if cfg.interaction_type:
         deep_in = inter_ops.fm_second_order(emb2)                              # (B, E)
     else:
@@ -128,6 +130,7 @@ class NFMEstimator(DeepFMEstimator):
 
     model_forward = staticmethod(forward)
     model_init = staticmethod(init_params)
+    model_spec = staticmethod(make_spec)
 
     def fit(self, Xi, Xv, y, Xi_valid=None, Xv_valid=None, y_valid=None,
             *, refit: bool = False, **kw):

@@ -54,17 +54,31 @@ def init_distributed(coordinator_address: Optional[str] = None,
                                    process_id=process_id)
 
 
+_TABLE_NAMES = ("emb1", "emb2", "ffm1", "ffm2")
+
+
+def _is_dense_table_path(path) -> bool:
+    """True for the packed dense-table leaf of any embedding group.
+
+    Matches both parameter pytrees (``emb2/dense``) and optimizer-state trees
+    that mirror them (``0/mu/emb2/dense`` for Adam moments), so the same
+    pad/shard helpers apply to params and opt_state alike.
+    """
+    names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+    return bool(names) and names[-1] == "dense" and any(n in _TABLE_NAMES for n in names)
+
+
 def param_shardings(params: Dict, mesh: Mesh) -> Dict:
     """NamedShardings for the parameter pytree: embedding tables row-sharded
-    over ``model``; everything else replicated."""
+    over ``model``; everything else replicated. Also valid for optimizer-state
+    trees whose leaves mirror the parameter structure (Adam moments)."""
     table_s = NamedSharding(mesh, P(MODEL_AXIS, None))
     repl = NamedSharding(mesh, P())
 
     def assign(path, leaf):
-        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
-        if names and names[0] in ("emb1", "emb2", "ffm1", "ffm2") and names[-1] == "dense":
+        if _is_dense_table_path(path):
             # only the dense packed table is sharded; q/r QR tables are tiny
-            if leaf.ndim == 2 and leaf.shape[0] % mesh.shape[MODEL_AXIS] == 0:
+            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] % mesh.shape[MODEL_AXIS] == 0:
                 return table_s
         return repl
 
@@ -90,8 +104,7 @@ def pad_rows_for_mesh(params: Dict, mesh: Mesh) -> Dict:
     import jax.numpy as jnp
 
     def pad(path, leaf):
-        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
-        if names and names[0] in ("emb1", "emb2", "ffm1", "ffm2") and names[-1] == "dense":
+        if _is_dense_table_path(path) and getattr(leaf, "ndim", 0) == 2:
             rows = leaf.shape[0]
             target = -(-rows // m) * m
             if target != rows:
@@ -100,3 +113,37 @@ def pad_rows_for_mesh(params: Dict, mesh: Mesh) -> Dict:
         return leaf
 
     return jax.tree_util.tree_map_with_path(pad, params)
+
+
+def unpad_rows(tree: Dict, dense_rows: int) -> Dict:
+    """Inverse of :func:`pad_rows_for_mesh`: slice every packed dense table
+    (and its optimizer-moment mirrors) back to ``dense_rows`` real rows, so
+    checkpoints saved from a sharded run load into unsharded models."""
+
+    def unpad(path, leaf):
+        if (_is_dense_table_path(path) and getattr(leaf, "ndim", 0) == 2
+                and leaf.shape[0] > dense_rows):
+            return leaf[:dense_rows]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(unpad, tree)
+
+
+def batch_axes(a2a: bool):
+    """The mesh axes the batch dimension is sharded over: the all-to-all
+    exchange shards the batch over BOTH axes (DLRM-style model→data
+    transition); the psum exchange and pure data-parallel shard over ``data``
+    only, with indices replicated along ``model``."""
+    return (DATA_AXIS, MODEL_AXIS) if a2a else DATA_AXIS
+
+
+def batch_shardings_dict(mesh: Mesh, axes, stacked: bool = False) -> Dict[str, NamedSharding]:
+    """Shardings for a training batch dict {xi, xv, y, mask}.
+
+    ``stacked=True`` produces shardings for (K, B, ...) multi-step stacks
+    (scan dimension replicated, batch dimension sharded).
+    """
+    lead = (None,) if stacked else ()
+    s2 = NamedSharding(mesh, P(*lead, axes, None))
+    s1 = NamedSharding(mesh, P(*lead, axes))
+    return {"xi": s2, "xv": s2, "y": s1, "mask": s1}

@@ -174,6 +174,7 @@ class DeepFMEstimator:
 
     model_forward = staticmethod(deepfwfm.forward)
     model_init = staticmethod(deepfwfm.init_params)
+    model_spec = staticmethod(deepfwfm.make_embedding_spec)
 
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  logger=None):
@@ -188,6 +189,11 @@ class DeepFMEstimator:
         self._step = 0
         self.train_result: list = []
         self.valid_result: list = []
+        # Multi-chip state (populated by _setup_mesh when TrainConfig asks
+        # for a non-trivial mesh; None = single-device, the default).
+        self.mesh = None
+        self._lookup_fn = None  # sharded-lookup override for model_forward
+        self._fwd = None        # model_forward with the lookup bound
 
     # ------------------------------------------------------------------ util
 
@@ -202,16 +208,90 @@ class DeepFMEstimator:
         self.params = init(key)
         return self.params
 
+    # --------------------------------------------------------------- sharding
+
+    def _setup_mesh(self):
+        """Build the (data, model) mesh + lookup exchange from TrainConfig.
+
+        This is the product path for multi-chip training (the reference parses
+        ``-use_multi`` and consumes it nowhere, ``utils/parameters.py:9``; here
+        ``-mesh_data``/``-mesh_model``/``-exchange`` flow from the CLI into a
+        sharded ``fit``). Returns None for the trivial 1×1 mesh.
+        """
+        tc = self.tcfg
+        md = getattr(tc, "mesh_data", 1)
+        mm = getattr(tc, "mesh_model", 1)
+        if md == 1 and mm == 1:
+            self.mesh, self._lookup_fn, self._fwd = None, None, None
+            return None
+        from ..parallel import embedding_sharding as es
+        from ..parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(data=(None if md == 0 else md), model=mm)
+        if mm > 1:
+            spec = type(self).model_spec(self.mcfg)
+            exchange = getattr(tc, "exchange", "a2a")
+            if exchange == "a2a":
+                self._lookup_fn = es.make_a2a_lookup(mesh, spec)
+            elif exchange == "psum":
+                self._lookup_fn = es.make_sharded_lookup(mesh, spec)
+            else:
+                raise ValueError(f"unknown exchange {exchange!r} (a2a | psum)")
+        else:
+            # pure data parallelism: default lookup; XLA all-reduces grads
+            self._lookup_fn = None
+        self.mesh = mesh
+        # rebuild cached compiled fns with the sharded lookup bound
+        self._fwd = self._eval_fn = self._scan_eval_fn = None
+        return mesh
+
+    def _n_batch_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        from ..parallel import mesh as mesh_mod
+        if self._lookup_fn is not None and getattr(self.tcfg, "exchange", "a2a") == "a2a":
+            return self.mesh.devices.size
+        return self.mesh.shape[mesh_mod.DATA_AXIS]
+
+    def _batch_shardings(self, stacked: bool = False):
+        if self.mesh is None:
+            return None
+        from ..parallel import mesh as mesh_mod
+        a2a = self._lookup_fn is not None and getattr(self.tcfg, "exchange", "a2a") == "a2a"
+        return mesh_mod.batch_shardings_dict(
+            self.mesh, mesh_mod.batch_axes(a2a), stacked=stacked)
+
+    def _shard_state(self):
+        """Pad packed tables to the mesh and lay params + opt state out."""
+        from ..parallel import mesh as mesh_mod
+        self.params = mesh_mod.pad_rows_for_mesh(self.params, self.mesh)
+        self.params = jax.device_put(
+            self.params, mesh_mod.param_shardings(self.params, self.mesh))
+        if self.opt_state is not None:
+            self.opt_state = mesh_mod.pad_rows_for_mesh(self.opt_state, self.mesh)
+            self.opt_state = jax.device_put(
+                self.opt_state, mesh_mod.param_shardings(self.opt_state, self.mesh))
+
+    @property
+    def forward_fn(self):
+        """model_forward with the sharded lookup bound (identity when no mesh)."""
+        if self._fwd is not None:
+            return self._fwd
+        fwd = type(self).model_forward
+        if self._lookup_fn is not None:
+            fwd = partial(fwd, lookup_fn=self._lookup_fn)
+        self._fwd = fwd
+        return fwd
+
     @property
     def eval_fn(self):
         if self._eval_fn is None:
-            self._eval_fn = make_eval_fn(self.mcfg, type(self).model_forward)
+            self._eval_fn = make_eval_fn(self.mcfg, self.forward_fn)
         return self._eval_fn
 
     @property
     def scan_eval_fn(self):
         if self._scan_eval_fn is None:
-            self._scan_eval_fn = make_scan_eval_fn(self.mcfg, type(self).model_forward)
+            self._scan_eval_fn = make_scan_eval_fn(self.mcfg, self.forward_fn)
         return self._scan_eval_fn
 
     # ------------------------------------------------------------------- fit
@@ -262,6 +342,25 @@ class DeepFMEstimator:
             self._step = meta.get("step", 0)
             start_epoch = meta.get("epoch", -1) + 1
             self._log(f"resumed from {resume_from} at epoch {start_epoch}")
+
+        # multi-chip: build the mesh, shard params + opt state, bind the
+        # sharded lookup exchange into the forward
+        self._setup_mesh()
+        n_shards = self._n_batch_shards()
+        if n_shards > 1:
+            if tc.batch_size % n_shards:
+                raise ValueError(
+                    f"batch_size {tc.batch_size} not divisible by the "
+                    f"{n_shards} batch shards of mesh "
+                    f"(data={self.mesh.shape['data']}, model={self.mesh.shape['model']}) "
+                    f"with exchange={getattr(tc, 'exchange', 'a2a')!r}")
+            self._shard_state()
+            self._log(f"mesh: data={self.mesh.shape['data']} "
+                      f"model={self.mesh.shape['model']} "
+                      f"exchange={getattr(tc, 'exchange', 'a2a')} "
+                      f"({self.mesh.devices.size} devices)")
+        batch_shardings = self._batch_shardings()
+
         use_kd = teacher_model is not None
         # K steps per dispatch amortizes launch overhead; pruning and KD need
         # per-step host interaction, so they keep K=1
@@ -269,9 +368,9 @@ class DeepFMEstimator:
                                         and not use_kd) else 1
         if k_steps > 1:
             multi_step = make_multi_step(self.mcfg, tc, optimizer, use_kd=False,
-                                         forward_fn=type(self).model_forward)
+                                         forward_fn=self.forward_fn)
         train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
-                                     forward_fn=type(self).model_forward)
+                                     forward_fn=self.forward_fn)
 
         counts = deepfwfm.param_group_counts(self.params, self.mcfg)
         self._log("========")
@@ -304,22 +403,29 @@ class DeepFMEstimator:
 
             if k_steps > 1:
                 group = tc.batch_size * k_steps
+                c = self.mcfg.num_categorical
+
+                def stacked(it):  # host-side (K, B, ...) reshape before H2D
+                    for g in it:
+                        yield {"xi": g["xi"].reshape(k_steps, tc.batch_size, c),
+                               "xv": g["xv"].reshape(k_steps, tc.batch_size, -1),
+                               "y": g["y"].reshape(k_steps, tc.batch_size),
+                               "mask": g["mask"].reshape(k_steps, tc.batch_size)}
+
                 for gbatch in batching.prefetch_to_device(
-                        batching.iter_batches(Xi_train, Xv_train, y_train, group)):
+                        stacked(batching.iter_batches(Xi_train, Xv_train, y_train, group)),
+                        shardings=self._batch_shardings(stacked=True)):
                     step_key, sub = jax.random.split(step_key)
-                    c = self.mcfg.num_categorical
                     self.params, self.opt_state, losses = multi_step(
-                        self.params, self.opt_state,
-                        gbatch["xi"].reshape(k_steps, tc.batch_size, c),
-                        gbatch["xv"].reshape(k_steps, tc.batch_size, -1),
-                        gbatch["y"].reshape(k_steps, tc.batch_size),
-                        gbatch["mask"].reshape(k_steps, tc.batch_size),
+                        self.params, self.opt_state, gbatch["xi"], gbatch["xv"],
+                        gbatch["y"], gbatch["mask"],
                         sub, jnp.zeros((k_steps, tc.batch_size), jnp.float32))
                     epoch_losses.append(jnp.sum(losses))
                     self._step += k_steps
             offset = 0
             batches = (batching.prefetch_to_device(
-                batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size))
+                batching.iter_batches(Xi_train, Xv_train, y_train, tc.batch_size),
+                shardings=batch_shardings)
                 if k_steps == 1 else [])
             for batch in batches:
                 if epoch >= tc.warm:
@@ -406,20 +512,31 @@ class DeepFMEstimator:
                         batch_size: Optional[int] = None) -> np.ndarray:
         """Batched forward → host logits (eval mode, padded tail)."""
         bs = batch_size or (self.tcfg.eval_batch_size * (2 if self.mcfg.use_ffm else 1))
+        n_shards = self._n_batch_shards()
+        if n_shards > 1:
+            bs = -(-bs // n_shards) * n_shards  # round up to a shardable batch
         Xi = np.asarray(Xi, dtype=np.int32).reshape(-1, self.mcfg.num_categorical)
         Xv = np.asarray(Xv, dtype=np.float32).reshape(Xi.shape[0], -1)
         pending = []   # dispatch everything async, fetch once at the end
+        stacked_sh = self._batch_shardings(stacked=True)
+        flat_sh = self._batch_shardings()
         # full-batch groups go K batches per dispatch through the scanned eval
         k, n = EVAL_SCAN_K, Xi.shape[0]
         pos, group = 0, EVAL_SCAN_K * bs
         while n - pos >= group:
-            xi_k = jnp.asarray(Xi[pos:pos + group].reshape(k, bs, -1))
-            xv_k = jnp.asarray(Xv[pos:pos + group].reshape(k, bs, -1))
+            xi_k = Xi[pos:pos + group].reshape(k, bs, -1)
+            xv_k = Xv[pos:pos + group].reshape(k, bs, -1)
+            if stacked_sh is not None:
+                xi_k = jax.device_put(xi_k, stacked_sh["xi"])
+                xv_k = jax.device_put(xv_k, stacked_sh["xv"])
+            else:
+                xi_k, xv_k = jnp.asarray(xi_k), jnp.asarray(xv_k)
             pending.append((self.scan_eval_fn(self.params, xi_k, xv_k), group))
             pos += group
         dummy_y = np.zeros(n - pos, dtype=np.float32)
         for batch in batching.prefetch_to_device(
-                batching.iter_batches(Xi[pos:], Xv[pos:], dummy_y, bs)):
+                batching.iter_batches(Xi[pos:], Xv[pos:], dummy_y, bs),
+                shardings=flat_sh):
             logits = self.eval_fn(self.params, batch["xi"], batch["xv"])
             pending.append((logits, batch["n_valid"]))
         out = [np.asarray(lg).reshape(-1)[:nv] for lg, nv in pending]
@@ -463,7 +580,15 @@ class DeepFMEstimator:
     # ---------------------------------------------------------- persistence
 
     def save(self, path: str, epoch: int = 0, sparse: bool = False):
-        ckpt.save_checkpoint(path, self.params, self.opt_state, step=self._step,
+        params, opt_state = self.params, self.opt_state
+        if self.mesh is not None:
+            # strip mesh-padding rows so checkpoints load into unsharded models
+            from ..parallel import mesh as mesh_mod
+            dense_rows = type(self).model_spec(self.mcfg).dense_rows
+            params = mesh_mod.unpad_rows(params, dense_rows)
+            if opt_state is not None:
+                opt_state = mesh_mod.unpad_rows(opt_state, dense_rows)
+        ckpt.save_checkpoint(path, params, opt_state, step=self._step,
                              epoch=epoch, sparse=sparse,
                              backend=self.tcfg.checkpoint_backend, metadata={
                                  "model": self.mcfg.model_name,
