@@ -196,6 +196,38 @@ def test_steps_per_call_equivalent(tiny_criteo):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+def test_fused_prune_matches_per_batch(tiny_criteo):
+    """VERDICT r1 #5: prune=1 with steps_per_call>1 fuses K=prune_interval
+    train steps + one prune refresh into a single dispatch, with schedule
+    values (and resulting params) identical to the per-batch K=1 path —
+    including an interval boundary mid-epoch AND the is_last tail fire
+    (8 batches, interval 3 → fires at n_iter 3, 6, 8)."""
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    import dataclasses
+
+    results = {}
+    for k in (1, 4):   # k>1 is the opt-in; fused K becomes prune_interval=3
+        mcfg, tcfg = small_cfgs(
+            train, field_size, use_fwfm=True, use_deep=True, use_lw=True,
+            train_kw=dict(n_epochs=2, batch_size=256, steps_per_call=k,
+                          prune=True, prune_fm=True, prune_deep=True,
+                          prune_r=True, sparse=0.5, warm=1, prune_omega=1.0,
+                          prune_interval=3))
+        mcfg = dataclasses.replace(mcfg, is_deep_dropout=False,
+                                   is_shallow_dropout=False)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+        results[k] = est.params
+
+    import jax
+    from xsdeepfwfm_deprecated_tpu.compression.pruning import sparsity_report
+    # schedule ceiling here is s = 0.5·(1−0.99^8) ≈ 3.8%
+    assert sparsity_report(results[4])["sparsity_pct"] > 2.0
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_ffm_and_deep_only_train(tiny_criteo):
     """FFM and deep-only families train end-to-end (smoke, small slices)."""

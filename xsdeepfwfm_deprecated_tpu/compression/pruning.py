@@ -46,17 +46,28 @@ def apply_threshold(w: jax.Array, threshold: jax.Array) -> jax.Array:
     return jnp.where(jnp.abs(w) < threshold, jnp.zeros_like(w), w)
 
 
-@partial(jax.jit, static_argnames=("prune_fm", "prune_deep", "prune_r"))
+@partial(jax.jit, static_argnames=("prune_fm", "prune_deep", "prune_r", "dense_rows"))
 def prune_params(params: Dict, adaptive_sparse: jax.Array, *,
                  emb_r: float = 1.0, emb_corr: float = 1.0,
                  prune_fm: bool = True, prune_deep: bool = True,
-                 prune_r: bool = False) -> Dict:
-    """One prune refresh over the parameter pytree. Returns pruned params."""
+                 prune_r: bool = False, dense_rows: int = 0) -> Dict:
+    """One prune refresh over the parameter pytree. Returns pruned params.
+
+    ``dense_rows``: true row count of the packed ``dense`` table. When the
+    table was padded to a mesh-divisible row count (``parallel.mesh.
+    pad_rows_for_mesh``), the threshold quantile is computed over the real rows
+    only so the all-zero padding rows can't skew the schedule."""
     params = dict(params)
 
     if prune_fm and "emb2" in params:
         tables = params["emb2"]
-        flat = jnp.concatenate([t.ravel() for t in tables.values()])
+
+        def real(k, t):
+            if k == "dense" and dense_rows and t.shape[0] > dense_rows:
+                return t[:dense_rows]
+            return t
+
+        flat = jnp.concatenate([real(k, t).ravel() for k, t in tables.items()])
         thr = jnp.quantile(jnp.abs(flat), jnp.clip(adaptive_sparse * emb_r, 0.0, 1.0))
         params["emb2"] = {k: apply_threshold(t, thr) for k, t in tables.items()}
 

@@ -86,13 +86,22 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
 
 def make_multi_step(mcfg: ModelConfig, tcfg: TrainConfig,
                     optimizer: optax.GradientTransformation, *, use_kd: bool = False,
-                    forward_fn=None):
+                    forward_fn=None, prune_kw: Optional[Dict] = None):
     """K optimizer steps per dispatch via ``lax.scan`` over stacked batches.
 
     One launch runs ``steps_per_call`` full train steps on device — the
     dispatch/RTT amortization that turns the reference's per-batch Python loop
     (``model/DeepFMs.py:612-637``) into a compiled pipeline. Inputs are
     stacked ``(K, B, ...)`` arrays; returns per-step losses ``(K,)``.
+
+    ``prune_kw``: when given (a dict of :func:`..compression.pruning.
+    prune_params` keyword args), the returned function takes an extra trailing
+    ``adaptive`` scalar and applies ONE DeepLight prune refresh after the
+    K-step scan, all inside the same dispatch — the reference prunes every
+    ``prune_interval`` iterations of its Python loop
+    (``model/DeepFMs.py:647-674``); fusing K=interval steps + the refresh
+    keeps that workflow at multi-step dispatch cadence on remote-attached
+    chips instead of falling back to per-batch launches.
     """
     forward_fn = forward_fn or deepfwfm.forward
 
@@ -104,8 +113,7 @@ def make_multi_step(mcfg: ModelConfig, tcfg: TrainConfig,
         elem = optax.sigmoid_binary_cross_entropy(logits, y)
         return jnp.sum(elem * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def multi_step(params, opt_state, xi_k, xv_k, y_k, mask_k, rng, teacher_k):
+    def scan_steps(params, opt_state, xi_k, xv_k, y_k, mask_k, rng, teacher_k):
         def body(carry, batch):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
@@ -132,7 +140,22 @@ def make_multi_step(mcfg: ModelConfig, tcfg: TrainConfig,
             body, (params, opt_state, rng), (xi_k, xv_k, y_k, mask_k, teacher_k))
         return params, opt_state, losses
 
-    return multi_step
+    if prune_kw is None:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, xi_k, xv_k, y_k, mask_k, rng, teacher_k):
+            return scan_steps(params, opt_state, xi_k, xv_k, y_k, mask_k, rng, teacher_k)
+
+        return multi_step
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step_prune(params, opt_state, xi_k, xv_k, y_k, mask_k, rng,
+                         teacher_k, adaptive):
+        params, opt_state, losses = scan_steps(
+            params, opt_state, xi_k, xv_k, y_k, mask_k, rng, teacher_k)
+        params = prune_params(params, adaptive, **prune_kw)
+        return params, opt_state, losses
+
+    return multi_step_prune
 
 
 def make_eval_fn(mcfg: ModelConfig, forward_fn=None):
@@ -362,13 +385,27 @@ class DeepFMEstimator:
         batch_shardings = self._batch_shardings()
 
         use_kd = teacher_model is not None
-        # K steps per dispatch amortizes launch overhead; pruning and KD need
-        # per-step host interaction, so they keep K=1
-        k_steps = tc.steps_per_call if (tc.steps_per_call > 1 and not do_prune
-                                        and not use_kd) else 1
+        # K steps per dispatch amortizes launch overhead; KD needs per-batch
+        # teacher logits, so it keeps K=1. Pruning fuses: K=prune_interval
+        # steps + one prune refresh per dispatch (schedule-identical to the
+        # reference's per-batch loop, model/DeepFMs.py:647-674).
+        k_steps = tc.steps_per_call if (tc.steps_per_call > 1 and not use_kd) else 1
+        fuse_prune = do_prune and k_steps > 1
+        if fuse_prune:
+            k_steps = tc.prune_interval
         if k_steps > 1:
             multi_step = make_multi_step(self.mcfg, tc, optimizer, use_kd=False,
                                          forward_fn=self.forward_fn)
+        if fuse_prune:
+            prune_kw = dict(
+                emb_r=r_emb, emb_corr=r_corr,
+                prune_fm=p_fm and self.mcfg.needs_emb2, prune_deep=p_deep,
+                prune_r=p_r and self.mcfg.use_fwfm,
+                dense_rows=(type(self).model_spec(self.mcfg).dense_rows
+                            if self.mesh is not None else 0))
+            multi_step_prune = make_multi_step(
+                self.mcfg, tc, optimizer, use_kd=False,
+                forward_fn=self.forward_fn, prune_kw=prune_kw)
         train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
                                      forward_fn=self.forward_fn)
 
@@ -404,22 +441,36 @@ class DeepFMEstimator:
             if k_steps > 1:
                 group = tc.batch_size * k_steps
                 c = self.mcfg.num_categorical
+                prune_now = fuse_prune and epoch >= tc.warm
 
                 def stacked(it):  # host-side (K, B, ...) reshape before H2D
                     for g in it:
                         yield {"xi": g["xi"].reshape(k_steps, tc.batch_size, c),
                                "xv": g["xv"].reshape(k_steps, tc.batch_size, -1),
                                "y": g["y"].reshape(k_steps, tc.batch_size),
-                               "mask": g["mask"].reshape(k_steps, tc.batch_size)}
+                               "mask": g["mask"].reshape(k_steps, tc.batch_size),
+                               # real (non-phantom) batches in this group — the
+                               # reference's n_iter counts exactly these
+                               "k_real": -(-g["n_valid"] // tc.batch_size)}
 
+                zeros_k = jnp.zeros((k_steps, tc.batch_size), jnp.float32)
                 for gbatch in batching.prefetch_to_device(
                         stacked(batching.iter_batches(Xi_train, Xv_train, y_train, group)),
                         shardings=self._batch_shardings(stacked=True)):
                     step_key, sub = jax.random.split(step_key)
-                    self.params, self.opt_state, losses = multi_step(
-                        self.params, self.opt_state, gbatch["xi"], gbatch["xv"],
-                        gbatch["y"], gbatch["mask"],
-                        sub, jnp.zeros((k_steps, tc.batch_size), jnp.float32))
+                    if prune_now:
+                        # schedule value at the fire point matches the K=1
+                        # path bit-for-bit: n_iter = post-warm real batches
+                        n_iter += gbatch["k_real"]
+                        adaptive = tc.adaptive_sparse(n_iter)
+                        self.params, self.opt_state, losses = multi_step_prune(
+                            self.params, self.opt_state, gbatch["xi"], gbatch["xv"],
+                            gbatch["y"], gbatch["mask"], sub, zeros_k,
+                            jnp.float32(adaptive))
+                    else:
+                        self.params, self.opt_state, losses = multi_step(
+                            self.params, self.opt_state, gbatch["xi"], gbatch["xv"],
+                            gbatch["y"], gbatch["mask"], sub, zeros_k)
                     epoch_losses.append(jnp.sum(losses))
                     self._step += k_steps
             offset = 0
