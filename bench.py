@@ -1,18 +1,56 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE JSON line (stdout) for the driver.
 
-Metric: batched serving throughput (examples/s) of the flagship dense
-DeepFwFM forward (Criteo shape: 39 fields, embedding 10, 400^3 deep tower,
-lw+fwlw), batch 8192, on the available accelerator.
+Metric: batched serving throughput (examples/s) of the PAPER-SCALE dense
+DeepFwFM forward — the full-Criteo model from the reference's latency study
+(``/root/reference/latency/criteo_latency.cpp:31-39``: 39 fields, 1.33M
+features with the real per-field cardinalities, embedding 10, 400^3 deep
+tower, lw+fwlw), batch 8192. The 53MB emb2 table exceeds VMEM, so the
+gathers hit HBM — this is the workload the baseline describes, not a
+VMEM-resident toy.
 
-Baseline: the reference's own measured 8192-batch CPU forward for the same
+Baseline: the reference's own measured 8192-batch CPU forward for this same
 architecture — 1299.191 ms/batch single-thread (``data/results/criteo.md:5``,
 BASELINE.md) → 6305 examples/s. ``vs_baseline`` = ours / reference.
+
+Protocol (fixed so the number is comparable across rounds): compile, 5
+warm-up dispatches, then 5 repetitions of 20 timed iterations each with a
+block_until_ready per repetition; report the MEDIAN repetition. A roofline
+statement (achieved FLOP/s and HBM bytes/s vs v5e peaks) goes to stderr and
+is recorded in RESULTS.md.
 """
 
 import json
+import statistics
+import sys
 import time
 
 import numpy as np
+
+# v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
+
+
+def flops_per_example(cfg) -> float:
+    """Analytic dense forward FLOPs per example (MACs×2, fp32 model).
+
+    Deep tower: (F·E)→N, (h_depth-1)×N→N, N→1. FwFM: pairwise inner products
+    F²·E MACs (computed as emb @ emb^T) + R weighting. Lookups are gathers
+    (0 FLOP). Matches XLA cost analysis within a few %.
+    """
+    F, E, N = cfg.field_size, cfg.embedding_size, cfg.deep_nodes
+    deep = 2 * (F * E * N + (cfg.h_depth - 1) * N * N + N)
+    fwfm = 2 * F * F * E + 2 * F * F   # pair dot-products + R mask-sum
+    lw = 2 * F                          # first-order dot
+    return float(deep + fwfm + lw)
+
+
+def gather_bytes_per_example(cfg) -> float:
+    """HBM gather traffic per example: emb2 (F rows × E fp32) + emb1 (F fp32).
+    Dense weights are batch-amortized and mostly VMEM-resident; this is the
+    per-example irreducible HBM read."""
+    F, E = cfg.field_size, cfg.embedding_size
+    return F * E * 4.0 + F * 4.0
 
 
 def main():
@@ -24,7 +62,7 @@ def main():
     from __graft_entry__ import _flagship
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
 
-    cfg = _flagship()
+    cfg = _flagship(full_criteo=True)
     params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     b = 8192
@@ -36,20 +74,43 @@ def main():
     xi_d, xv_d = jax.device_put(xi), jax.device_put(xv)
     params = jax.device_put(params)
 
-    # warm-up / compile
+    # compile + 5 warm-up dispatches
     jax.block_until_ready(fwd(params, xi_d, xv_d))
-
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(5):
         out = fwd(params, xi_d, xv_d)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+
+    reps, iters = 5, 20
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params, xi_d, xv_d)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    dt = statistics.median(times)
 
     examples_per_s = b / dt
     baseline = 8192 / 1.299191  # reference 8192-batch 1-thread CPU ms → ex/s
+
+    # roofline: what bounds this number (stderr + RESULTS.md, not the JSON)
+    fpe = flops_per_example(cfg)
+    bpe = gather_bytes_per_example(cfg)
+    ach_flops = examples_per_s * fpe
+    ach_gather = examples_per_s * bpe
+    emb_mb = sum(cfg.feature_sizes) * cfg.embedding_size * 4 / 1e6
+    print(f"roofline: model=criteo-full ({sum(cfg.feature_sizes):,} features, "
+          f"emb2 {emb_mb:.0f} MB > VMEM)\n"
+          f"  {fpe / 1e6:.3f} MFLOP/ex, {bpe:.0f} B/ex gather\n"
+          f"  achieved {ach_flops / 1e12:.1f} TFLOP/s "
+          f"({100 * ach_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e bf16 peak), "
+          f"gather {ach_gather / 1e9:.1f} GB/s "
+          f"({100 * ach_gather / V5E_PEAK_HBM_BYTES:.1f}% of v5e HBM peak)\n"
+          f"  rep times (ms/batch): {[round(t * 1e3, 2) for t in times]}",
+          file=sys.stderr)
+
     print(json.dumps({
-        "metric": "serve_throughput_deepfwfm_b8192",
+        "metric": "serve_throughput_deepfwfm_criteo_full_b8192",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_s / baseline, 2),

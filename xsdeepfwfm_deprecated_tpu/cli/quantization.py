@@ -36,7 +36,7 @@ def load_quantized(path: str, cfg, mode: str = "dynamic") -> "Q.QuantizedModel":
     import jax.numpy as jnp
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     trees = {"params_fp": {}, "emb1_q": {}, "emb2_q": {}, "deep_q": {},
-             "act_scales": {}}
+             "act_scales": {}, "ffm1_q": {}, "ffm2_q": {}}
 
     def insert(root, keys, value):
         node = root
@@ -60,7 +60,8 @@ def load_quantized(path: str, cfg, mode: str = "dynamic") -> "Q.QuantizedModel":
     act = trees["act_scales"]
     return Q.QuantizedModel(cfg=cfg, mode=mode, params_fp=trees["params_fp"] or {},
                             emb1_q=trees["emb1_q"], emb2_q=trees["emb2_q"],
-                            deep_q=trees["deep_q"], act_scales=act)
+                            deep_q=trees["deep_q"], act_scales=act,
+                            ffm1_q=trees["ffm1_q"], ffm2_q=trees["ffm2_q"])
 
 
 def _save_quantized(qm: Q.QuantizedModel, path: str):
@@ -68,7 +69,8 @@ def _save_quantized(qm: Q.QuantizedModel, path: str):
     arrays = {}
     for name, tree in (("params_fp", qm.params_fp), ("emb1_q", qm.emb1_q),
                        ("emb2_q", qm.emb2_q), ("deep_q", qm.deep_q),
-                       ("act_scales", qm.act_scales)):
+                       ("act_scales", qm.act_scales), ("ffm1_q", qm.ffm1_q),
+                       ("ffm2_q", qm.ffm2_q)):
         if tree is None:
             continue
         for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:

@@ -54,10 +54,13 @@ class QuantizedModel:
     emb2_q: Optional[Dict]
     deep_q: Optional[Dict]          # {net_i: {layers: [{w_q, w_scale, b}], fc: ...}}
     act_scales: Optional[Dict]      # static mode: per-layer activation scales
+    ffm1_q: Optional[Dict] = None   # FFM int8 tables (DeepFFM family)
+    ffm2_q: Optional[Dict] = None
 
     def size_bytes(self) -> int:
         total = 0
-        for tree in (self.params_fp, self.emb1_q, self.emb2_q, self.deep_q, self.act_scales):
+        for tree in (self.params_fp, self.emb1_q, self.emb2_q, self.deep_q,
+                     self.act_scales, self.ffm1_q, self.ffm2_q):
             if tree is not None:
                 total += sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
         return total
@@ -65,11 +68,13 @@ class QuantizedModel:
 
 jax.tree_util.register_pytree_node(
     QuantizedModel,
-    lambda m: ((m.params_fp, m.emb1_q, m.emb2_q, m.deep_q, m.act_scales),
+    lambda m: ((m.params_fp, m.emb1_q, m.emb2_q, m.deep_q, m.act_scales,
+                m.ffm1_q, m.ffm2_q),
                (m.cfg, m.mode)),
     lambda aux, kids: QuantizedModel(cfg=aux[0], mode=aux[1], params_fp=kids[0],
                                      emb1_q=kids[1], emb2_q=kids[2],
-                                     deep_q=kids[3], act_scales=kids[4]),
+                                     deep_q=kids[3], act_scales=kids[4],
+                                     ffm1_q=kids[5], ffm2_q=kids[6]),
 )
 
 
@@ -94,39 +99,54 @@ def _quantize_deep(deep: Dict) -> Dict:
 def convert(params: Dict, cfg: ModelConfig, mode: str = "dynamic",
             act_scales: Optional[Dict] = None,
             quantize_embeddings: bool = True) -> QuantizedModel:
-    """params (fp32 pytree) → :class:`QuantizedModel`."""
+    """params (fp32 pytree) → :class:`QuantizedModel`. Covers every family the
+    fp32 forward covers, including DeepFFM (``ffm1``/``ffm2`` become
+    weight-only int8 tables like ``emb1``/``emb2``)."""
     params_fp = {k: v for k, v in params.items()
                  if k in ("bias", "lw_w", "fwlw_w", "field_cov")}
     emb1_q = _quantize_tables(params.get("emb1")) if quantize_embeddings else None
     emb2_q = _quantize_tables(params.get("emb2")) if quantize_embeddings else None
+    ffm1_q = _quantize_tables(params.get("ffm1")) if quantize_embeddings else None
+    ffm2_q = _quantize_tables(params.get("ffm2")) if quantize_embeddings else None
     if not quantize_embeddings:
-        params_fp["emb1"] = params.get("emb1")
-        params_fp["emb2"] = params.get("emb2")
+        for k in ("emb1", "emb2", "ffm1", "ffm2"):
+            if k in params:
+                params_fp[k] = params[k]
     deep_q = _quantize_deep(params["deep"]) if "deep" in params else None
     return QuantizedModel(cfg=cfg, mode=mode, params_fp=params_fp,
                           emb1_q=emb1_q, emb2_q=emb2_q, deep_q=deep_q,
-                          act_scales=act_scales)
+                          act_scales=act_scales, ffm1_q=ffm1_q, ffm2_q=ffm2_q)
 
 
 def calibrate(params: Dict, cfg: ModelConfig, xi: np.ndarray, xv: np.ndarray,
               n_batches: int = 5, batch_size: int = 2048) -> Dict:
     """Static-PTQ calibration: run ``n_batches × batch_size`` rows (reference
-    ``quantization.py:92-103``) and record per-layer activation abs-max."""
+    ``quantization.py:92-103``) and record per-layer activation abs-max —
+    for EVERY deep net when ``num_deeps > 1`` (each net has its own weights,
+    so its own activation ranges)."""
     spec = deepfwfm.make_embedding_spec(cfg)
     n_layers = cfg.h_depth
+    net_names = [f"net_{i}" for i in range(1, cfg.num_deeps + 1)]
 
     @jax.jit
     def layer_maxes(xi_b, xv_b):
-        emb2 = emb_ops.packed_lookup(params["emb2"], spec, xi_b, xv_b)
-        x = emb2.reshape(xi_b.shape[0], -1)
-        maxes = [jnp.max(jnp.abs(x))]
-        net = params["deep"]["net_1"]
-        for layer in net["layers"]:
-            x = jax.nn.relu(x @ layer["w"] + layer["b"])
-            maxes.append(jnp.max(jnp.abs(x)))
+        b = xi_b.shape[0]
+        if cfg.use_ffm:
+            f, e = cfg.field_size, cfg.embedding_size
+            pair = emb_ops.packed_lookup(params["ffm2"], spec, xi_b, xv_b)
+            x0 = jnp.sum(pair.reshape(b, f, f, e), axis=2).reshape(b, -1)
+        else:
+            emb2 = emb_ops.packed_lookup(params["emb2"], spec, xi_b, xv_b)
+            x0 = emb2.reshape(b, -1)
+        maxes = [jnp.max(jnp.abs(x0))]
+        for name in net_names:
+            x = x0
+            for layer in params["deep"][name]["layers"]:
+                x = jax.nn.relu(x @ layer["w"] + layer["b"])
+                maxes.append(jnp.max(jnp.abs(x)))
         return jnp.stack(maxes)
 
-    amax = np.zeros(n_layers + 1)
+    amax = np.zeros(1 + len(net_names) * n_layers)
     n = xi.shape[0]
     for i in range(n_batches):
         lo = (i * batch_size) % max(n - batch_size, 1)
@@ -134,8 +154,10 @@ def calibrate(params: Dict, cfg: ModelConfig, xi: np.ndarray, xv: np.ndarray,
         m = np.asarray(layer_maxes(jnp.asarray(xi[sl]), jnp.asarray(xv[sl])))
         amax = np.maximum(amax, m)
     scales = np.maximum(amax, 1e-12) / 127.0
-    return {"input": jnp.float32(scales[0]),
-            "hidden": [jnp.float32(s) for s in scales[1:]]}
+    nets = {name: [jnp.float32(s)
+                   for s in scales[1 + j * n_layers: 1 + (j + 1) * n_layers]]
+            for j, name in enumerate(net_names)}
+    return {"input": jnp.float32(scales[0]), "nets": nets}
 
 
 def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
@@ -179,6 +201,7 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
     first_order = None
     second_order = None
     emb2 = None
+    pair_emb = None
     if cfg.use_logit or cfg.use_fm or cfg.use_fwfm:
         if not cfg.use_fwlw:
             first_order = lookup(qm.emb1_q, qm.params_fp.get("emb1"), 1)[..., 0]
@@ -189,11 +212,22 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
             second_order = (inter_ops.fm_second_order(emb2) if cfg.use_fm
                             else inter_ops.fwfm_second_order(emb2, qm.params_fp["field_cov"]))
 
+    if cfg.use_ffm:
+        # DeepFFM family: int8 field-pair tables, fp32 interactions
+        # (mirrors the fp32 forward, models/deepfwfm.py:145-153)
+        f, e = cfg.field_size, cfg.embedding_size
+        first_order = lookup(qm.ffm1_q, qm.params_fp.get("ffm1"), 1)[..., 0]
+        pair_emb = lookup(qm.ffm2_q, qm.params_fp.get("ffm2"), f * e).reshape(b, f, f, e)
+        second_order = inter_ops.ffm_second_order(pair_emb)
+
     x_deep = None
     if cfg.use_deep:
-        if emb2 is None:
-            emb2 = lookup(qm.emb2_q, qm.params_fp.get("emb2"), cfg.embedding_size)
-        x = emb2.reshape(b, -1)
+        if cfg.use_ffm:
+            x = jnp.sum(pair_emb, axis=2).reshape(b, -1)
+        else:
+            if emb2 is None:
+                emb2 = lookup(qm.emb2_q, qm.params_fp.get("emb2"), cfg.embedding_size)
+            x = emb2.reshape(b, -1)
         act = qm.act_scales
         fused_ok = (use_fused_kernel and act is None and cfg.num_deeps == 1
                     and b % 512 == 0)
@@ -203,14 +237,18 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
             x_deep = int8_mlp_pallas(x, layers_q, fc_q, block_b=512)
         for nidx in (() if fused_ok else range(1, cfg.num_deeps + 1)):
             net = qm.deep_q[f"net_{nidx}"]
+            # per-net calibrated scales (each net has its own activation
+            # ranges); "hidden" is the legacy single-net artifact layout
+            a_hidden = (act["nets"][f"net_{nidx}"] if act is not None and "nets" in act
+                        else act["hidden"] if act is not None else None)
             h = x
             for i, layer in enumerate(net["layers"]):
-                a_scale = act["hidden"][i - 1] if (act is not None and i > 0) else \
+                a_scale = a_hidden[i - 1] if (act is not None and i > 0) else \
                           (act["input"] if act is not None else None)
                 h = q_ops.quantized_dense(h, layer["w_q"], layer["w_scale"],
                                           layer["b"], a_scale)
                 h = jax.nn.relu(h)
-            a_scale = act["hidden"][-1] if act is not None else None
+            a_scale = a_hidden[-1] if act is not None else None
             out = q_ops.quantized_dense(h, net["fc"]["w_q"], net["fc"]["w_scale"],
                                         None, a_scale)
             x_deep = out
@@ -221,9 +259,9 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
                               preferred_element_type=jnp.float32)
     if cfg.use_logit:
         return jnp.sum(first_order, axis=1) + bias
-    if (cfg.use_fm or cfg.use_fwfm) and cfg.use_deep:
+    if (cfg.use_fm or cfg.use_fwfm or cfg.use_ffm) and cfg.use_deep:
         return (jnp.sum(first_order, axis=1) + jnp.sum(second_order, axis=1)
                 + jnp.sum(x_deep, axis=1) + bias)
-    if cfg.use_fm or cfg.use_fwfm:
+    if cfg.use_fm or cfg.use_fwfm or cfg.use_ffm:
         return jnp.sum(first_order, axis=1) + jnp.sum(second_order, axis=1) + bias
     return jnp.sum(x_deep, axis=1) + bias
