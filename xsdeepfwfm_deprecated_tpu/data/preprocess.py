@@ -149,6 +149,50 @@ def min_max_scale(df, columns: Sequence[str]):
     return df
 
 
+ALI_DENSE_FEATURES = ("price", "time_stamp")
+
+
+def preprocess_ali_join(raw_sample_df, ad_feature_df, user_profile_df,
+                        out_path: Optional[str] = None):
+    """Ali three-table join: raw_sample ⋈ user_profile ⋈ ad_feature →
+    the ``ali_click.csv`` training table (reference
+    ``data/large/ali_ad.py:18-110``).
+
+    Reference semantics, step for step:
+
+    * ``raw_sample.user`` renamed to ``userid``; inner-join user_profile on
+      ``userid``, then ad_feature on ``adgroup_id`` (``:52,:85-86``);
+    * history echo columns ``hist_cate_id``/``hist_adgroup_id`` copied from
+      ``cate_id``/``adgroup_id`` (``:88-89``);
+    * ``clk`` moved to column 0 (``:91-92``);
+    * dense features ``price``/``time_stamp`` fillna(0) + min-max scaled to
+      [0, 1], then inserted after ``clk`` — loop-insertion at position 1
+      leaves the order ``clk, time_stamp, price`` (``:95-105``);
+    * ``nonclk`` dropped (``:108``).
+
+    The reference's dtype-downcast passes (``:31-81``) are a host-memory
+    optimization with no effect on the written CSV and are skipped.
+    Returns the joined DataFrame; ``out_path`` writes the header-less CSV the
+    value-counts mapping step (:func:`preprocess_value_counts`) consumes.
+    """
+    df = raw_sample_df.rename(columns={"user": "userid"})
+    df = df.merge(user_profile_df, on="userid")
+    df = df.merge(ad_feature_df, on="adgroup_id")
+    df["hist_cate_id"] = df["cate_id"]
+    df["hist_adgroup_id"] = df["adgroup_id"]
+    df.insert(0, "clk", df.pop("clk"))
+    dense = list(ALI_DENSE_FEATURES)
+    df[dense] = df[dense].fillna(0)
+    df = min_max_scale(df, dense)
+    for col in dense:
+        df.insert(1, col, df.pop(col))
+    df.pop("nonclk")
+    if out_path is not None:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        df.to_csv(out_path, header=None, index=None)
+    return df
+
+
 def preprocess_twitter(df, *, dense_features: Sequence[str],
                        sparse_features: Sequence[str],
                        label_cols: Sequence[str] = ("reply", "retweet",
