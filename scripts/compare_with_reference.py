@@ -33,7 +33,7 @@ sys.path.insert(0, {ref!r})
 os.chdir({workdir!r})
 torch.set_num_threads(4)
 
-np.random.seed(42); random.seed(42); torch.manual_seed(42)
+np.random.seed({seed}); random.seed({seed}); torch.manual_seed({seed})
 
 from utils import data_preprocess
 from model import DeepFMs
@@ -58,7 +58,7 @@ model = DeepFMs.DeepFMs(field_size=39, feature_sizes=train['feature_sizes'],
     embedding_size={emb}, n_epochs={epochs}, verbose=False, use_cuda=False,
     use_ffm=False, batch_size={batch}, learning_rate=1e-3,
     weight_decay=3e-7, momentum=0, sparse=0.9, warm=10, h_depth={depth},
-    deep_nodes={nodes}, num_deeps=1, numerical=13, random_seed=42, logger=logger,
+    deep_nodes={nodes}, num_deeps=1, numerical=13, random_seed={seed}, logger=logger,
     **FLAGS)
 model.fit(train['index'], train['value'], train['label'],
           test['index'], test['value'], test['label'], early_stopping=False, save_path=None)
@@ -69,7 +69,8 @@ print("REFJSON " + json.dumps({{"loss": loss, "auc": auc, "prauc": prauc, "rce":
 '''
 
 
-def run_reference(workdir, epochs, rows, emb, nodes, depth, batch, model="deepfwfm"):
+def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
+                  model="deepfwfm", seed=42):
     os.makedirs(os.path.join(workdir, "data"), exist_ok=True)
     for f in ("tiny_train_input.csv", "tiny_test_input.csv"):
         dst = os.path.join(workdir, "data", f)
@@ -85,7 +86,7 @@ def run_reference(workdir, epochs, rows, emb, nodes, depth, batch, model="deepfw
 
     code = REF_RUNNER.format(ref=REFERENCE, workdir=workdir, rows=rows,
                              epochs=epochs, emb=emb, nodes=nodes, depth=depth,
-                             batch=batch, model=model)
+                             batch=batch, model=model, seed=seed)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600,
                          env={**os.environ, "JAX_PLATFORMS": "cpu"})
@@ -96,7 +97,7 @@ def run_reference(workdir, epochs, rows, emb, nodes, depth, batch, model="deepfw
     raise RuntimeError("reference run produced no result")
 
 
-def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm"):
+def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
@@ -117,7 +118,7 @@ def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm"):
                        numerical=13, embedding_size=emb, h_depth=depth,
                        deep_nodes=nodes, **base)
     tcfg = TrainConfig(n_epochs=epochs, batch_size=batch, learning_rate=1e-3,
-                       weight_decay=3e-7, random_seed=42)
+                       weight_decay=3e-7, random_seed=seed)
     est = DeepFMEstimator(mcfg, tcfg)
     est.fit(train["index"][:rows], train["value"][:rows], train["label"][:rows],
             test["index"], test["value"], test["label"])
@@ -136,18 +137,35 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--model", choices=["deepfwfm", "fwfm", "fm", "lr"],
                     default="deepfwfm")
+    ap.add_argument("--seeds", default="42",
+                    help="comma-separated seed list; >1 seed reports mean±std")
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
 
-    ours = run_ours(args.epochs, args.rows, args.emb, args.nodes, args.depth,
-                    args.batch, args.model)
-    print("ours:     ", json.dumps(ours))
-    with tempfile.TemporaryDirectory() as wd:
-        ref = run_reference(wd, args.epochs, args.rows, args.emb, args.nodes,
-                            args.depth, args.batch, args.model)
-    print("reference:", json.dumps(ref))
-    d_auc = ours["auc"] - ref["auc"]
-    d_loss = ours["loss"] - ref["loss"]
-    print(f"delta auc {d_auc:+.4f}  delta logloss {d_loss:+.4f} (ours - reference)")
+    ours_runs, ref_runs = [], []
+    for seed in seeds:
+        ours = run_ours(args.epochs, args.rows, args.emb, args.nodes,
+                        args.depth, args.batch, args.model, seed)
+        print(f"ours      (seed {seed}):", json.dumps(ours))
+        with tempfile.TemporaryDirectory() as wd:
+            ref = run_reference(wd, args.epochs, args.rows, args.emb,
+                                args.nodes, args.depth, args.batch,
+                                args.model, seed)
+        print(f"reference (seed {seed}):", json.dumps(ref))
+        ours_runs.append(ours)
+        ref_runs.append(ref)
+
+    import statistics as st
+    mean = lambda runs, k: st.mean(r[k] for r in runs)
+    std = lambda runs, k: (st.stdev(r[k] for r in runs) if len(runs) > 1 else 0.0)
+    if len(seeds) > 1:
+        for k in ("auc", "loss"):
+            print(f"{k:>4s}: ours {mean(ours_runs, k):.4f}±{std(ours_runs, k):.4f}  "
+                  f"reference {mean(ref_runs, k):.4f}±{std(ref_runs, k):.4f}  "
+                  f"({len(seeds)} seeds)")
+    d_auc = mean(ours_runs, "auc") - mean(ref_runs, "auc")
+    d_loss = mean(ours_runs, "loss") - mean(ref_runs, "loss")
+    print(f"delta auc {d_auc:+.4f}  delta logloss {d_loss:+.4f} (ours - reference, mean over seeds)")
     # asymmetric: matching OR beating the reference both count as parity.
     # AUC (ranking) is the primary criterion; logloss calibration swings
     # ±0.17 with init variance for shallow models on tiny data (both

@@ -1,13 +1,28 @@
 #!/usr/bin/env python
-"""At-scale training demonstration on synthetic CTR data with planted
-field-interaction structure.
+"""At-scale training + DeepLight-recipe validation on synthetic CTR data.
 
 The offline environment has no full Criteo (41M rows), so this plants a known
-generative model — per-feature weights + low-rank pairwise field interactions,
-the exact structure FwFM models — over 1M rows / 39 Criteo-shaped fields, and
-verifies DeepFwFM recovers it (AUC well above the LR-only ceiling).
+generative model over Criteo-shaped data — per-feature weights, low-rank
+pairwise field interactions (the structure FwFM models), and a small planted
+MLP nonlinearity (the structure the deep tower models) — and measures how
+close DeepFwFM gets to the ORACLE AUC of the true logit.
 
-Usage: python scripts/synthetic_scale_run.py [--rows 1000000] [--epochs 2]
+Scale matches the paper's regime (``paper.pdf`` Table 3): ``--full-criteo-dims``
+uses the real per-field cardinalities (1.33M features, largest field 245,197 —
+``/root/reference/latency/criteo_latency.cpp:38-39``) with zipf-skewed index
+sampling (real CTR features are long-tailed; the reference maps freq<4 to
+index 0, ``data/large/preprocess_criteo.py:80-117``).
+
+``--deeplight`` runs the paper's headline compression recipe end-to-end
+(``paper.pdf`` §5.3, README.md:87): 2 warm + 8 pruning epochs, prune every 10
+iterations, targets D-90% (DNN), R-90% (field matrix), F-40% (embeddings) via
+``sparse=0.9, emb_corr=1.0, emb_r=0.444``. ``--compare`` trains the dense
+baseline AND the DeepLight run on the same data and reports the AUC gap
+(paper Table 5: dense 0.8116 vs sparse 0.8123 — gap ≈ 0).
+
+Usage:
+  python scripts/synthetic_scale_run.py --rows 10000000 --full-criteo-dims \
+      --compare --eval-train-rows 500000
 """
 
 import argparse
@@ -19,72 +34,172 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# real full-Criteo per-field cardinalities (1.33M features total),
+# reference /root/reference/latency/criteo_latency.cpp:38-39
+FULL_CRITEO_CAT_SIZES = [
+    1458, 556, 245197, 166166, 306, 20, 12055, 634, 4, 46330, 5229, 243454,
+    3177, 27, 11745, 225322, 11, 4727, 2058, 5, 238640, 18, 16, 67856, 89,
+    50942]
 
-def make_synthetic(rows: int, seed: int = 0):
+N_NUM, N_CAT, RANK, HID = 13, 26, 4, 32
+
+
+def _zipf_cdfs(cat_sizes, a=1.05):
+    """Per-field zipf(a) CDF over ranks — inverse-transform sampling tables."""
+    cdfs = []
+    for s in cat_sizes:
+        w = 1.0 / np.arange(1, s + 1, dtype=np.float64) ** a
+        cdfs.append(np.cumsum(w / w.sum()))
+    return cdfs
+
+
+def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
+                   chunk: int = 250_000):
+    """Chunked generation of (xi, xv, y, feature_sizes, oracle_logit)."""
     rng = np.random.default_rng(seed)
-    n_num, n_cat = 13, 26
-    cat_sizes = [int(c) for c in
-                 rng.integers(10, 50000, n_cat)]
-    # planted model
-    rank = 4
-    w_num = rng.normal(size=n_num) * 0.3
-    w_cat = [rng.normal(size=s) * 0.5 for s in cat_sizes]
-    v_cat = [rng.normal(size=(s, rank)) * 0.4 for s in cat_sizes]
-    field_strength = rng.normal(size=(n_cat, n_cat)) * 0.15
-    field_strength = np.triu(field_strength, 1)
+    cat_sizes = (list(FULL_CRITEO_CAT_SIZES) if full_dims
+                 else [int(c) for c in rng.integers(10, 50000, N_CAT)])
 
-    xv = rng.normal(size=(rows, n_num)).astype(np.float32)
-    xi = np.stack([rng.integers(0, s, rows) for s in cat_sizes], 1).astype(np.int32)
+    # planted model: linear + low-rank pairwise (FwFM-structure) + small MLP
+    w_num = (rng.normal(size=N_NUM) * 0.3).astype(np.float32)
+    w_cat = [rng.normal(size=s).astype(np.float32) * 0.5 for s in cat_sizes]
+    v_cat = [rng.normal(size=(s, RANK)).astype(np.float32) * 0.4
+             for s in cat_sizes]
+    field_strength = np.triu(rng.normal(size=(N_CAT, N_CAT)) * 0.15, 1
+                             ).astype(np.float32)
+    mlp_w1 = (rng.normal(size=(N_CAT * RANK + N_NUM, HID)) *
+              (1.0 / np.sqrt(N_CAT * RANK + N_NUM))).astype(np.float32)
+    mlp_w2 = (rng.normal(size=HID) * 0.8).astype(np.float32)
 
-    logit = xv @ w_num
-    emb = np.stack([v_cat[f][xi[:, f]] for f in range(n_cat)], 1)  # (N, C, rank)
-    for f in range(n_cat):
-        logit += w_cat[f][xi[:, f]]
-    # pairwise low-rank interactions (chunked to bound memory)
-    gram = np.einsum("nfr,ngr->nfg", emb, emb)
-    logit += np.einsum("nfg,fg->n", gram, field_strength)
-    logit = (logit - logit.mean()) / (logit.std() + 1e-9) * 2.0 - 1.5
+    cdfs = _zipf_cdfs(cat_sizes)
+    xi = np.empty((rows, N_CAT), np.int32)
+    xv = rng.normal(size=(rows, N_NUM)).astype(np.float32)
+    logit = np.empty(rows, np.float32)
+
+    for lo in range(0, rows, chunk):
+        hi = min(rows, lo + chunk)
+        n = hi - lo
+        for f in range(N_CAT):
+            u = rng.random(n)
+            xi[lo:hi, f] = np.searchsorted(cdfs[f], u).astype(np.int32)
+        part = xv[lo:hi] @ w_num
+        emb = np.empty((n, N_CAT, RANK), np.float32)
+        for f in range(N_CAT):
+            idx = xi[lo:hi, f]
+            part += w_cat[f][idx]
+            emb[:, f] = v_cat[f][idx]
+        gram = np.einsum("nfr,ngr->nfg", emb, emb)
+        part += np.einsum("nfg,fg->n", gram, field_strength)
+        feats = np.concatenate([emb.reshape(n, -1), xv[lo:hi]], axis=1)
+        part += np.tanh(feats @ mlp_w1) @ mlp_w2      # planted nonlinearity
+        logit[lo:hi] = part
+
+    # normalize so the oracle AUC ceiling is high (~0.85+) and CTR ~ 0.25
+    logit = (logit - logit.mean()) / (logit.std() + 1e-9) * 2.0 - 1.2
     y = (rng.random(rows) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
+    feature_sizes = [1] * N_NUM + cat_sizes
+    return xi, xv, y, feature_sizes, logit
 
-    feature_sizes = [1] * n_num + cat_sizes
-    return xi, xv, y, feature_sizes
+
+def oracle_auc(logit, y):
+    from xsdeepfwfm_deprecated_tpu.train.metrics import roc_auc
+    return roc_auc(np.asarray(y, np.float64), np.asarray(logit, np.float64))
+
+
+def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
+    from xsdeepfwfm_deprecated_tpu.compression.pruning import sparsity_report
+    from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
+    from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+    from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+
+    mcfg = ModelConfig(field_size=39, feature_sizes=tuple(feature_sizes),
+                       numerical=13, embedding_size=10, h_depth=3,
+                       deep_nodes=400,
+                       use_logit=args.lr_only, use_fm=False, use_ffm=False,
+                       use_fwfm=not args.lr_only, use_deep=not args.lr_only,
+                       use_lw=not args.lr_only, use_fwlw=not args.lr_only)
+    # the paper's DeepLight recipe (README.md:87, paper.pdf §5.3): 2 warm +
+    # 8 prune epochs, prune every 10 iters, D-90 / R-90 / F-40
+    tcfg = TrainConfig(
+        n_epochs=(args.epochs if not deeplight else args.warm + args.prune_epochs),
+        batch_size=args.batch, learning_rate=1e-3, weight_decay=3e-7,
+        random_seed=args.seed, steps_per_call=args.steps_per_call,
+        prune=deeplight, prune_fm=True, prune_r=True, prune_deep=True,
+        sparse=0.9, emb_r=0.444, emb_corr=1.0, warm=args.warm,
+        prune_omega=args.prune_omega,
+        eval_train_rows=args.eval_train_rows)
+    est = DeepFMEstimator(mcfg, tcfg)
+    t0 = time.time()
+    est.fit(xi[n_test:], xv[n_test:], y[n_test:],
+            xi[:n_test], xv[:n_test], y[:n_test])
+    wall = time.time() - t0
+    loss, auc, prauc, rce = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
+    rep = sparsity_report(est.params)
+    groups = deepfwfm.param_group_counts(est.params, mcfg, nonzero=True)
+    total = deepfwfm.param_group_counts(est.params, mcfg, nonzero=False)
+    return {
+        "mode": "deeplight" if deeplight else "dense",
+        "test_logloss": round(loss, 4), "test_auc": round(auc, 4),
+        "prauc": round(prauc, 4), "rce": round(rce, 2),
+        "sparsity_pct": round(rep["sparsity_pct"], 2),
+        "nonzero_params": rep["nonzero"],
+        "dnn_sparsity_pct": round(100 * (1 - groups["dnn"] / max(total["dnn"], 1)), 1),
+        "emb_sparsity_pct": round(100 * (1 - groups["second_order_embeddings"]
+                                         / max(total["second_order_embeddings"], 1)), 1),
+        "train_wall_s": round(wall, 1),
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
-    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=2, help="dense-run epochs")
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr-only", action="store_true")
-    ap.add_argument("--steps-per-call", type=int, default=1)
+    ap.add_argument("--steps-per-call", type=int, default=10)
+    ap.add_argument("--full-criteo-dims", action="store_true",
+                    help="use the real 1.33M-feature Criteo cardinalities")
+    ap.add_argument("--deeplight", action="store_true",
+                    help="run the paper's prune recipe (D-90/R-90/F-40)")
+    ap.add_argument("--compare", action="store_true",
+                    help="run dense AND deeplight on the same data; report gap")
+    ap.add_argument("--warm", type=int, default=2)
+    ap.add_argument("--prune-epochs", type=int, default=8)
+    ap.add_argument("--prune-omega", type=float, default=100.0)
+    ap.add_argument("--eval-train-rows", type=int, default=0,
+                    help="cap rows for the per-epoch train-metric eval (0 = all)")
     args = ap.parse_args()
-
-    from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
-    from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+    if args.compare:
+        # dense baseline gets the same total epoch budget as the prune run
+        args.epochs = args.warm + args.prune_epochs
 
     t0 = time.time()
-    xi, xv, y, feature_sizes = make_synthetic(args.rows)
+    xi, xv, y, feature_sizes, logit = make_synthetic(
+        args.rows, args.seed, args.full_criteo_dims)
     n_test = max(args.rows // 10, 1000)
-    print(f"generated {args.rows} rows in {time.time()-t0:.0f}s; "
-          f"ctr={y.mean():.3f}; features={sum(feature_sizes):,}")
+    ceiling = oracle_auc(logit[:n_test], y[:n_test])
+    print(f"generated {args.rows:,} rows in {time.time()-t0:.0f}s; "
+          f"ctr={y.mean():.3f}; features={sum(feature_sizes):,}; "
+          f"oracle test AUC (planted-model ceiling) = {ceiling:.4f}")
 
-    mcfg = ModelConfig(field_size=39, feature_sizes=tuple(feature_sizes),
-                       numerical=13, embedding_size=10, h_depth=3, deep_nodes=400,
-                       use_logit=args.lr_only, use_fm=False, use_ffm=False,
-                       use_fwfm=not args.lr_only, use_deep=not args.lr_only,
-                       use_lw=not args.lr_only, use_fwlw=not args.lr_only)
-    tcfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch,
-                       learning_rate=1e-3, weight_decay=3e-7, random_seed=0,
-                       steps_per_call=args.steps_per_call)
-    est = DeepFMEstimator(mcfg, tcfg)
-    est.fit(xi[n_test:], xv[n_test:], y[n_test:],
-            xi[:n_test], xv[:n_test], y[:n_test])
-    loss, auc, prauc, rce = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
-    print(json.dumps({"model": mcfg.model_name, "rows": args.rows,
-                      "epochs": args.epochs, "test_logloss": round(loss, 4),
-                      "test_auc": round(auc, 4), "prauc": round(prauc, 4),
-                      "rce": round(rce, 2),
-                      "wall_s": round(time.time() - t0, 1)}))
+    runs = []
+    if args.compare:
+        modes = [False, True]
+    else:
+        modes = [args.deeplight]
+    for deeplight in modes:
+        res = train_one(xi, xv, y, feature_sizes, n_test, args,
+                        deeplight=deeplight)
+        res.update({"rows": args.rows, "oracle_auc": round(ceiling, 4)})
+        runs.append(res)
+        print(json.dumps(res))
+    if len(runs) == 2:
+        gap = runs[0]["test_auc"] - runs[1]["test_auc"]
+        print(json.dumps({"dense_vs_sparse_auc_gap": round(gap, 4),
+                          "dense_auc": runs[0]["test_auc"],
+                          "sparse_auc": runs[1]["test_auc"],
+                          "sparse_total_sparsity_pct": runs[1]["sparsity_pct"]}))
 
 
 if __name__ == "__main__":

@@ -48,3 +48,21 @@ def test_run_benchmark_reports(served_model, tmp_path):
                 "examples_per_s_per_chip", "single_example_ms"):
         assert key in res and np.isfinite(res[key]), key
     assert res["examples_per_s"] > 0
+    # op-level summary (reference key_averages counterpart) is included:
+    # per-component wall clock + XLA cost analysis of the compiled forward
+    comp = [k for k in res if k.startswith("component_ms/")]
+    assert "component_ms/Full forward" in comp
+    assert "component_ms/Deep tower (MLP)" in comp
+    assert "component_ms/FwFM interaction (R-weighted pairs)" in comp
+    assert all(res[k] > 0 for k in comp)
+    assert res.get("flops_per_batch", 1.0) > 0
+
+
+def test_op_summary_quantized(served_model):
+    """Quantized predictors get the full-forward row + cost analysis (no
+    fp32 component sub-functions)."""
+    from xsdeepfwfm_deprecated_tpu.serving.benchmark import op_summary
+    cfg, params, xi, xv, y = served_model
+    p = Predictor(Q.convert(params, cfg, mode="dynamic"))
+    res = op_summary(p, xi[:64], xv[:64], log=lambda *a: None)
+    assert res["component_ms/Full forward"] > 0

@@ -151,6 +151,10 @@ class TrainConfig:
     kd_temperature: float = 20.0
 
     steps_per_call: int = 1          # K optimizer steps per device dispatch (lax.scan)
+    eval_train_rows: int = 0         # cap rows for the per-epoch TRAIN-metric eval
+                                     # (0 = full train set, the reference behavior
+                                     # model/DeepFMs.py:681; a cap keeps epoch
+                                     # telemetry cheap on multi-million-row runs)
     # Multi-chip mesh (TPU extension; the reference has no distribution story,
     # SURVEY §5.8). mesh_data=0 means "all remaining devices".
     mesh_data: int = 1               # data-parallel mesh axis size

@@ -3,7 +3,10 @@
 Parity surface of the reference's ``run_benchmark`` (``model/DeepFMs.py:947-1009``):
 
 1. quality metrics over the test set (logloss/AUC/PRAUC/RCE);
-2. a profiler pass with trace export (xprof instead of chrome-trace);
+2. a profiler pass with trace export (xprof instead of chrome-trace) PLUS an
+   op-level summary table + device-memory accounting — the counterpart of the
+   reference's ``prof.key_averages()`` printout with ``profile_memory=True``
+   (``model/DeepFMs.py:975-978``);
 3. batched forward timing (default batch 8192) → ms/batch and examples/s;
 4. single-example latency (batch=1) over 1000 samples → mean ms.
 
@@ -13,13 +16,131 @@ fp32 vs int8 vs pruned-masked serving paths.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..train import metrics as M
 from ..utils.profiling import simple_timeit, trace
 from .predictor import Predictor
+
+
+def memory_summary() -> Dict[str, float]:
+    """Device (HBM) memory accounting — TPU counterpart of the reference's
+    ``profile_memory=True`` autograd pass (``model/DeepFMs.py:975``).
+
+    Returns ``{}`` on backends that expose no allocator stats (CPU)."""
+    import jax
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    out = {}
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+                "largest_alloc_size"):
+        if key in stats:
+            out[key] = float(stats[key])
+    return out
+
+
+def op_summary(predictor: Predictor, bxi: np.ndarray, bxv: np.ndarray,
+               log=print) -> Dict[str, float]:
+    """Op-level summary of the compiled serving forward.
+
+    Counterpart of ``prof.key_averages().table(sort_by='self_cpu_time_total')``
+    (reference ``model/DeepFMs.py:975-978``), built TPU-natively from two
+    sources:
+
+    * XLA's compiled :meth:`cost_analysis` — analytic FLOPs / bytes-accessed
+      of the whole fused program (XLA fuses aggressively, so per-HLO rows are
+      not meaningful the way per-aten-op rows are on torch);
+    * wall-clock timing of the forward's named components (the reference's
+      ``record_function`` spans: lookup / interaction / deep tower), each
+      jitted standalone — the fusion-boundary analogue of per-op self time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    results: Dict[str, float] = {}
+    xi_d = jax.device_put(jnp.asarray(bxi, jnp.int32))
+    xv_d = jax.device_put(jnp.asarray(bxv, jnp.float32))
+
+    # --- XLA cost analysis of the full compiled forward --------------------
+    try:
+        cost = (predictor._fn.lower(predictor._model, xi_d, xv_d)
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):   # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        for key, out_key in (("flops", "flops_per_batch"),
+                             ("bytes accessed", "bytes_accessed_per_batch")):
+            if cost.get(key):
+                results[out_key] = float(cost[key])
+    except Exception:   # pragma: no cover - backend without cost analysis
+        pass
+
+    # --- per-component wall clock (named-span analogue) ---------------------
+    rows: List[Tuple[str, float]] = []
+    model = predictor._model
+    if isinstance(model, dict):   # fp32 params: component sub-functions exist
+        from ..models import deepfwfm
+        from ..ops import embedding as emb_ops
+        from ..ops import interactions as inter_ops
+        from ..ops import mlp as mlp_ops
+
+        cfg = predictor.cfg
+        spec = deepfwfm.make_embedding_spec(cfg)
+        b = bxi.shape[0]
+        zero_rates = (0.0,) * (cfg.h_depth + 1)
+
+        if "emb2" in model:
+            f_lookup = jax.jit(lambda p, xi, xv: emb_ops.packed_lookup(
+                p["emb2"], spec, xi, xv))
+            rows.append(("Embedding lookup (packed gather)",
+                         simple_timeit(f_lookup, model, xi_d, xv_d, tries=10)))
+            emb2_d = jax.device_put(np.asarray(f_lookup(model, xi_d, xv_d)))
+            if cfg.use_fwfm and "field_cov" in model:
+                f_int = jax.jit(lambda p, e: inter_ops.fwfm_second_order(
+                    e, p["field_cov"]))
+                rows.append(("FwFM interaction (R-weighted pairs)",
+                             simple_timeit(f_int, model, emb2_d, tries=10)))
+            elif cfg.use_fm:
+                f_int = jax.jit(lambda e: inter_ops.fm_second_order(e))
+                rows.append(("FM interaction (sum-of-squares)",
+                             simple_timeit(f_int, emb2_d, tries=10)))
+            if cfg.use_deep and "deep" in model:
+                deep_in_d = jax.device_put(
+                    np.asarray(emb2_d).reshape(b, -1))
+                f_deep = jax.jit(lambda p, x: mlp_ops.mlp_forward(
+                    p["deep"]["net_1"], x, dropout_rates=zero_rates, train=False))
+                rows.append(("Deep tower (MLP)",
+                             simple_timeit(f_deep, model, deep_in_d, tries=10)))
+
+    rows.append(("Full forward",
+                 simple_timeit(lambda: predictor._fn(model, xi_d, xv_d), tries=10)))
+
+    # --- render, reference-table style (sorted by self time desc) ----------
+    log("\tOp-level summary (batch {}):".format(bxi.shape[0]))
+    header = "\t  {:<38s} {:>12s} {:>10s}".format("component", "time (ms)", "share")
+    log(header)
+    total = rows[-1][1]
+    for name, t in sorted(rows, key=lambda r: -r[1]):
+        log("\t  {:<38s} {:>12.3f} {:>9.1f}%".format(
+            name, t * 1e3, 100.0 * t / max(total, 1e-12)))
+        results[f"component_ms/{name}"] = t * 1e3
+    if "flops_per_batch" in results:
+        log("\t  XLA cost analysis: {:.3f} GFLOP/batch, {:.1f} MB accessed/batch".format(
+            results["flops_per_batch"] / 1e9,
+            results.get("bytes_accessed_per_batch", 0.0) / 1e6))
+
+    mem = memory_summary()
+    if mem:
+        log("\t  Device memory: {:.1f} MB in use, {:.1f} MB peak{}".format(
+            mem.get("bytes_in_use", 0.0) / 1e6,
+            mem.get("peak_bytes_in_use", 0.0) / 1e6,
+            ", {:.0f} MB limit".format(mem["bytes_limit"] / 1e6)
+            if "bytes_limit" in mem else ""))
+        results.update({f"memory/{k}": v for k, v in mem.items()})
+    else:
+        log("\t  Device memory: no allocator stats on this backend")
+    return results
 
 
 def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
@@ -60,6 +181,7 @@ def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
     predictor.warmup(batch_sizes=(1, batch_size))
     with trace(trace_dir):
         predictor.logits(bxi, bxv)
+    results.update(op_summary(predictor, bxi, bxv, log=log))
 
     # 3. batched forward timing (reference :982-997). Arrays are device-put
     # once outside the timed lambda — the reference's time_forward_pass also

@@ -517,8 +517,9 @@ class DeepFMEstimator:
             rep = sparsity_report(self.params)
             self._log("Model parameters %d, sparse rate %.2f%%"
                       % (rep["nonzero"], rep["sparsity_pct"]))
+            n_te = tc.eval_train_rows or Xi_train.shape[0]
             train_loss, train_auc, train_prauc, train_rce = self.eval_by_batch(
-                Xi_train, Xv_train, y_train)
+                Xi_train[:n_te], Xv_train[:n_te], y_train[:n_te])
             self.train_result.append(train_auc)
             self._log("Training [%d] loss: %.6f metric: %.6f prauc: %.4f rce: %.2f "
                       "sparse %.2f%% time: %.1f s"
