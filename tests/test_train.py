@@ -267,6 +267,25 @@ def test_qat_training_end_to_end(tiny_criteo):
     assert np.corrcoef(q_logits, fp_logits)[0, 1] > 0.99
 
 
+def test_eval_train_rows_caps_epoch_telemetry(tiny_criteo):
+    """eval_train_rows=N evaluates per-epoch TRAIN metrics on the first N rows
+    only (cheap telemetry on multi-million-row runs); training itself and the
+    valid eval still see every row."""
+    field_size, train, valid, _ = tiny_criteo
+    mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True,
+                            train_kw=dict(n_epochs=1, batch_size=512,
+                                          eval_train_rows=700))
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(train["index"], train["value"], train["label"],
+            valid["index"], valid["value"], valid["label"])
+    # one full epoch over ALL rows ran (step counter) + both evals recorded
+    assert est._step == -(-len(train["label"]) // 512)
+    assert len(est.train_result) == 1 and len(est.valid_result) == 1
+    # the capped train-metric matches an explicit eval on the post-shuffle
+    # first 700 rows' ordering is internal; just require a sane AUC in (0, 1)
+    assert 0.0 < est.train_result[0] < 1.0
+
+
 def test_scanned_eval_matches_per_batch(tiny_criteo):
     """The K-batches-per-dispatch scanned eval returns bitwise-same logits as
     the per-batch path, across scan groups, full remainder batches, and a
