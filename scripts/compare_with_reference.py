@@ -48,6 +48,29 @@ rows = {rows}
 for k in ('label','index','value'):
     train[k] = train[k][:rows]
 
+if {model!r} == "nfm":
+    # the reference's standalone NFM estimator (NFM.py:66-106,281-463).
+    # Its module bottom runs an unguarded training script against missing
+    # ./data/large files (NFM.py:561-575) — exec only the definitions above
+    # the "test part" marker.
+    import types
+    src = open(os.path.join({ref!r}, "NFM.py")).read()
+    cut = src.find('"""\n    test part')
+    NFMmod = types.ModuleType("NFM_ref")
+    exec(compile(src[:cut], "NFM.py", "exec"), NFMmod.__dict__)
+    model = NFMmod.NFM(field_size=39, feature_sizes=train['feature_sizes'],
+        embedding_size={emb}, n_epochs={epochs}, verbose=False, use_cuda=False,
+        use_fm=True, use_ffm=False, interation_type=True, batch_size={batch},
+        learning_rate={lr}, weight_decay=3e-7, h_depth={depth},
+        deep_layers=[{nodes}] * {depth}, random_seed={seed}, num=13)
+    model.fit(train['index'], train['value'], train['label'],
+              test['index'], test['value'], test['label'], early_stopping=False)
+    loss, auc = model.eval_by_batch(
+        np.array(test['index']).reshape((-1, 26, 1)), np.array(test['value']),
+        np.array(test['label']), len(test['label']))
+    print("REFJSON " + json.dumps({{"loss": loss, "auc": auc}}))
+    raise SystemExit(0)
+
 FLAGS = {{
     "deepfwfm": dict(use_fm=False, use_fwfm=True, use_deep=True, use_lw=True, use_fwlw=True, use_logit=0),
     "fwfm":     dict(use_fm=False, use_fwfm=True, use_deep=False, use_lw=True, use_fwlw=False, use_logit=0),
@@ -56,7 +79,7 @@ FLAGS = {{
 }}[{model!r}]
 model = DeepFMs.DeepFMs(field_size=39, feature_sizes=train['feature_sizes'],
     embedding_size={emb}, n_epochs={epochs}, verbose=False, use_cuda=False,
-    use_ffm=False, batch_size={batch}, learning_rate=1e-3,
+    use_ffm=False, batch_size={batch}, learning_rate={lr},
     weight_decay=3e-7, momentum=0, sparse=0.9, warm=10, h_depth={depth},
     deep_nodes={nodes}, num_deeps=1, numerical=13, random_seed={seed}, logger=logger,
     **FLAGS)
@@ -70,7 +93,7 @@ print("REFJSON " + json.dumps({{"loss": loss, "auc": auc, "prauc": prauc, "rce":
 
 
 def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
-                  model="deepfwfm", seed=42):
+                  model="deepfwfm", seed=42, lr=1e-3):
     os.makedirs(os.path.join(workdir, "data"), exist_ok=True)
     for f in ("tiny_train_input.csv", "tiny_test_input.csv"):
         dst = os.path.join(workdir, "data", f)
@@ -86,7 +109,7 @@ def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
 
     code = REF_RUNNER.format(ref=REFERENCE, workdir=workdir, rows=rows,
                              epochs=epochs, emb=emb, nodes=nodes, depth=depth,
-                             batch=batch, model=model, seed=seed)
+                             batch=batch, model=model, seed=seed, lr=lr)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600,
                          env={**os.environ, "JAX_PLATFORMS": "cpu"})
@@ -97,7 +120,7 @@ def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
     raise RuntimeError("reference run produced no result")
 
 
-def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42):
+def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42, lr=1e-3):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
@@ -105,6 +128,20 @@ def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42):
     from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
 
     field_size, train, valid, test = get_dataset("tiny-criteo")
+    if model == "nfm":
+        from xsdeepfwfm_deprecated_tpu.models.nfm import NFMConfig, NFMEstimator
+        mcfg = NFMConfig(field_size=39,
+                         feature_sizes=tuple(train["feature_sizes"]),
+                         numerical=13, embedding_size=emb, h_depth=depth,
+                         deep_nodes=nodes, use_fm=True, interaction_type=True)
+        tcfg = TrainConfig(n_epochs=epochs, batch_size=batch, learning_rate=lr,
+                           weight_decay=3e-7, random_seed=seed)
+        est = NFMEstimator(mcfg, tcfg)
+        est.fit(train["index"][:rows], train["value"][:rows], train["label"][:rows],
+                test["index"], test["value"], test["label"])
+        loss, auc, prauc, rce = est.eval_by_batch(test["index"], test["value"],
+                                                  test["label"])
+        return {"loss": loss, "auc": auc, "prauc": prauc, "rce": rce}
     flags = {
         "deepfwfm": dict(use_fwfm=True, use_deep=True, use_lw=True, use_fwlw=True),
         "fwfm": dict(use_fwfm=True, use_deep=False, use_lw=True),
@@ -117,7 +154,7 @@ def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42):
     mcfg = ModelConfig(field_size=39, feature_sizes=tuple(train["feature_sizes"]),
                        numerical=13, embedding_size=emb, h_depth=depth,
                        deep_nodes=nodes, **base)
-    tcfg = TrainConfig(n_epochs=epochs, batch_size=batch, learning_rate=1e-3,
+    tcfg = TrainConfig(n_epochs=epochs, batch_size=batch, learning_rate=lr,
                        weight_decay=3e-7, random_seed=seed)
     est = DeepFMEstimator(mcfg, tcfg)
     est.fit(train["index"][:rows], train["value"][:rows], train["label"][:rows],
@@ -135,8 +172,9 @@ def main():
     ap.add_argument("--nodes", type=int, default=400)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--model", choices=["deepfwfm", "fwfm", "fm", "lr"],
+    ap.add_argument("--model", choices=["deepfwfm", "fwfm", "fm", "lr", "nfm"],
                     default="deepfwfm")
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seeds", default="42",
                     help="comma-separated seed list; >1 seed reports mean±std")
     args = ap.parse_args()
@@ -145,12 +183,12 @@ def main():
     ours_runs, ref_runs = [], []
     for seed in seeds:
         ours = run_ours(args.epochs, args.rows, args.emb, args.nodes,
-                        args.depth, args.batch, args.model, seed)
+                        args.depth, args.batch, args.model, seed, args.lr)
         print(f"ours      (seed {seed}):", json.dumps(ours))
         with tempfile.TemporaryDirectory() as wd:
             ref = run_reference(wd, args.epochs, args.rows, args.emb,
                                 args.nodes, args.depth, args.batch,
-                                args.model, seed)
+                                args.model, seed, args.lr)
         print(f"reference (seed {seed}):", json.dumps(ref))
         ours_runs.append(ours)
         ref_runs.append(ref)

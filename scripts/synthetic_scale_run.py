@@ -54,8 +54,16 @@ def _zipf_cdfs(cat_sizes, a=1.05):
 
 
 def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
-                   chunk: int = 250_000):
-    """Chunked generation of (xi, xv, y, feature_sizes, oracle_logit)."""
+                   chunk: int = 250_000, min_count: int = 4):
+    """Chunked generation of (xi, xv, y, feature_sizes, oracle_logit).
+
+    ``min_count``: ranks whose EXPECTED count over ``rows`` draws is below
+    this are remapped to index 0 before the planted logit is computed —
+    mirroring the reference's long-tail rule (features with frequency < 4
+    map to index 0, ``data/large/preprocess_criteo.py:80-117``). Without it
+    the zipf tail is millions of once-seen features whose labels a 13M-param
+    embedding table memorizes, and every run is overfitting-dominated.
+    """
     rng = np.random.default_rng(seed)
     cat_sizes = (list(FULL_CRITEO_CAT_SIZES) if full_dims
                  else [int(c) for c in rng.integers(10, 50000, N_CAT)])
@@ -72,6 +80,11 @@ def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
     mlp_w2 = (rng.normal(size=HID) * 0.8).astype(np.float32)
 
     cdfs = _zipf_cdfs(cat_sizes)
+    # long-tail cutoff per field: largest rank with expected count >= min_count
+    pmf0 = [np.diff(c, prepend=0.0) for c in cdfs]
+    cutoffs = [int(np.searchsorted(-p * rows, -float(min_count)))
+               for p in pmf0]
+    kept = sum(cutoffs)
     xi = np.empty((rows, N_CAT), np.int32)
     xv = rng.normal(size=(rows, N_NUM)).astype(np.float32)
     logit = np.empty(rows, np.float32)
@@ -81,7 +94,8 @@ def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
         n = hi - lo
         for f in range(N_CAT):
             u = rng.random(n)
-            xi[lo:hi, f] = np.searchsorted(cdfs[f], u).astype(np.int32)
+            k = np.searchsorted(cdfs[f], u).astype(np.int32)
+            xi[lo:hi, f] = np.where(k < cutoffs[f], k, 0)  # tail → index 0
         part = xv[lo:hi] @ w_num
         emb = np.empty((n, N_CAT, RANK), np.float32)
         for f in range(N_CAT):
@@ -98,7 +112,7 @@ def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
     logit = (logit - logit.mean()) / (logit.std() + 1e-9) * 2.0 - 1.2
     y = (rng.random(rows) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
     feature_sizes = [1] * N_NUM + cat_sizes
-    return xi, xv, y, feature_sizes, logit
+    return xi, xv, y, feature_sizes, logit, kept
 
 
 def oracle_auc(logit, y):
@@ -130,14 +144,17 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
         eval_train_rows=args.eval_train_rows)
     est = DeepFMEstimator(mcfg, tcfg)
     t0 = time.time()
-    est.fit(xi[n_test:], xv[n_test:], y[n_test:],
-            xi[:n_test], xv[:n_test], y[:n_test])
+    # valid set is a held-out slice distinct from the test slice
+    n_valid = n_test
+    est.fit(xi[n_test + n_valid:], xv[n_test + n_valid:], y[n_test + n_valid:],
+            xi[n_test:n_test + n_valid], xv[n_test:n_test + n_valid],
+            y[n_test:n_test + n_valid], keep_best=True)
     wall = time.time() - t0
     loss, auc, prauc, rce = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
     rep = sparsity_report(est.params)
     groups = deepfwfm.param_group_counts(est.params, mcfg, nonzero=True)
     total = deepfwfm.param_group_counts(est.params, mcfg, nonzero=False)
-    return {
+    out = {
         "mode": "deeplight" if deeplight else "dense",
         "test_logloss": round(loss, 4), "test_auc": round(auc, 4),
         "prauc": round(prauc, 4), "rce": round(rce, 2),
@@ -146,8 +163,23 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
         "dnn_sparsity_pct": round(100 * (1 - groups["dnn"] / max(total["dnn"], 1)), 1),
         "emb_sparsity_pct": round(100 * (1 - groups["second_order_embeddings"]
                                          / max(total["second_order_embeddings"], 1)), 1),
+        "valid_auc_by_epoch": [round(v, 4) for v in est.valid_result],
         "train_wall_s": round(wall, 1),
     }
+    # test metrics at the best-valid epoch (recovering the best per-epoch
+    # checkpoint, as the reference's torch.save-per-epoch allows)
+    if est.best_params is not None:
+        import jax
+        final = est.params
+        est.params = jax.device_put(est.best_params)
+        bl, ba, _, _ = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
+        brep = sparsity_report(est.params)
+        est.params = final
+        out.update({"best_epoch": est.best_epoch + 1,
+                    "best_test_auc": round(ba, 4),
+                    "best_test_logloss": round(bl, 4),
+                    "best_sparsity_pct": round(brep["sparsity_pct"], 2)})
+    return out
 
 
 def main():
@@ -169,18 +201,36 @@ def main():
     ap.add_argument("--prune-omega", type=float, default=100.0)
     ap.add_argument("--eval-train-rows", type=int, default=0,
                     help="cap rows for the per-epoch train-metric eval (0 = all)")
+    ap.add_argument("--min-count", type=int, default=4,
+                    help="long-tail cutoff: expected-count threshold below "
+                         "which ranks map to 0 (reference freq<4 rule)")
+    ap.add_argument("--cache", default="",
+                    help="npz path to cache/reuse the generated dataset")
     args = ap.parse_args()
     if args.compare:
         # dense baseline gets the same total epoch budget as the prune run
         args.epochs = args.warm + args.prune_epochs
 
     t0 = time.time()
-    xi, xv, y, feature_sizes, logit = make_synthetic(
-        args.rows, args.seed, args.full_criteo_dims)
+    import os
+    if args.cache and os.path.exists(args.cache):
+        z = np.load(args.cache)
+        xi, xv, y, logit = z["xi"], z["xv"], z["y"], z["logit"]
+        feature_sizes, kept = z["feature_sizes"].tolist(), int(z["kept"])
+        assert len(y) == args.rows, f"cache has {len(y)} rows, want {args.rows}"
+        print(f"loaded cached dataset {args.cache}")
+    else:
+        xi, xv, y, feature_sizes, logit, kept = make_synthetic(
+            args.rows, args.seed, args.full_criteo_dims,
+            min_count=args.min_count)
+        if args.cache:
+            np.savez(args.cache, xi=xi, xv=xv, y=y, logit=logit,
+                     feature_sizes=np.asarray(feature_sizes), kept=kept)
     n_test = max(args.rows // 10, 1000)
     ceiling = oracle_auc(logit[:n_test], y[:n_test])
     print(f"generated {args.rows:,} rows in {time.time()-t0:.0f}s; "
-          f"ctr={y.mean():.3f}; features={sum(feature_sizes):,}; "
+          f"ctr={y.mean():.3f}; features={sum(feature_sizes):,} "
+          f"({kept:,} above the freq threshold); "
           f"oracle test AUC (planted-model ceiling) = {ceiling:.4f}")
 
     runs = []
@@ -196,10 +246,17 @@ def main():
         print(json.dumps(res))
     if len(runs) == 2:
         gap = runs[0]["test_auc"] - runs[1]["test_auc"]
-        print(json.dumps({"dense_vs_sparse_auc_gap": round(gap, 4),
-                          "dense_auc": runs[0]["test_auc"],
-                          "sparse_auc": runs[1]["test_auc"],
-                          "sparse_total_sparsity_pct": runs[1]["sparsity_pct"]}))
+        summary = {"dense_vs_sparse_auc_gap": round(gap, 4),
+                   "dense_auc": runs[0]["test_auc"],
+                   "sparse_auc": runs[1]["test_auc"],
+                   "sparse_total_sparsity_pct": runs[1]["sparsity_pct"]}
+        if "best_test_auc" in runs[0] and "best_test_auc" in runs[1]:
+            summary["best_epoch_gap"] = round(
+                runs[0]["best_test_auc"] - runs[1]["best_test_auc"], 4)
+            summary["dense_best_auc"] = runs[0]["best_test_auc"]
+            summary["sparse_best_auc"] = runs[1]["best_test_auc"]
+            summary["sparse_best_sparsity_pct"] = runs[1]["best_sparsity_pct"]
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

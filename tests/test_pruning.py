@@ -20,6 +20,20 @@ def test_magnitude_threshold_matches_bisection():
         assert abs(frac_below - target) < 0.01
 
 
+def test_bisection_threshold_matches_quantile_large():
+    """Above BISECT_SIZE the threshold switches to the reference's value-range
+    bisection (model/DeepFMs.py:807-823); achieved sparsity must match the
+    exact sort-based quantile far inside the reference's ±1e-4 tolerance."""
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(pruning.BISECT_SIZE + 7,)).astype(np.float32))
+    for target in [0.05, 0.4, 0.9]:
+        thr_b = float(pruning.magnitude_threshold(w, jnp.float32(target)))
+        thr_q = float(jnp.quantile(jnp.abs(w), target))
+        frac_b = float(jnp.mean(jnp.abs(w) < thr_b))
+        assert abs(frac_b - target) < 1e-4
+        assert abs(thr_b - thr_q) < 1e-4
+
+
 def test_apply_threshold():
     w = jnp.asarray([-0.5, 0.01, 0.3, -0.02])
     out = np.asarray(pruning.apply_threshold(w, jnp.float32(0.1)))

@@ -242,6 +242,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Model-parallel mesh axis size (embedding row sharding)")
     p.add_argument("-exchange", default="a2a", type=str, choices=["a2a", "psum"],
                    help="Sharded embedding-lookup exchange (used when -mesh_model > 1)")
+    p.add_argument("-eval_train_rows", default=0, type=int,
+                   help="Cap rows for the per-epoch train-metric eval "
+                        "(TPU extension; 0 = full train set, reference behavior)")
     return p
 
 
@@ -296,6 +299,7 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         mesh_data=getattr(pars, "mesh_data", 1),
         mesh_model=getattr(pars, "mesh_model", 1),
         exchange=getattr(pars, "exchange", "a2a"),
+        eval_train_rows=getattr(pars, "eval_train_rows", 0),
         save_model_path=(pars.save_model_path if pars.save_model_path not in (0, "0") else None),
     )
     return mcfg, tcfg

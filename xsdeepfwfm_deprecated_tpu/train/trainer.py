@@ -212,6 +212,9 @@ class DeepFMEstimator:
         self._step = 0
         self.train_result: list = []
         self.valid_result: list = []
+        self.best_params: Optional[Dict] = None   # populated by fit(keep_best=True)
+        self.best_epoch: int = -1
+        self.best_valid_auc: float = float("nan")
         # Multi-chip state (populated by _setup_mesh when TrainConfig asks
         # for a non-trivial mesh; None = single-device, the default).
         self.mesh = None
@@ -325,14 +328,20 @@ class DeepFMEstimator:
             prune_r: Optional[bool] = None, prune_deep: Optional[bool] = None,
             emb_r: Optional[float] = None, emb_corr: Optional[float] = None,
             teacher_model: "DeepFMEstimator" = None,
-            resume_from: Optional[str] = None) -> "DeepFMEstimator":
+            resume_from: Optional[str] = None,
+            keep_best: bool = False) -> "DeepFMEstimator":
         """Train. Array-argument layout matches the reference ``fit``
         (``model/DeepFMs.py:497-516``): Xi (N, C[, 1]) int indices of
         categorical fields, Xv (N, Nnum) float values, y (N,) labels.
 
         ``resume_from``: checkpoint path — restores params + optimizer state +
         epoch counter and continues training (the reference can only reload
-        weights for inference, ``utils/util.py:45-55``)."""
+        weights for inference, ``utils/util.py:45-55``).
+
+        ``keep_best``: snapshot host-side copies of the params at the
+        best-valid-AUC epoch into ``self.best_params`` / ``self.best_epoch``
+        (the in-memory counterpart of recovering the best epoch from the
+        reference's per-epoch ``torch.save``, ``model/DeepFMs.py:706-707``)."""
         tc = self.tcfg
         do_prune = tc.prune if prune is None else bool(prune)
         p_fm = tc.prune_fm if prune_fm is None else bool(prune_fm)
@@ -532,6 +541,10 @@ class DeepFMEstimator:
                           "sparse %.2f%% time: %.1f s"
                           % (epoch + 1, vl, va, vp, vr, rep["sparsity_pct"],
                              time.time() - epoch_begin))
+                if keep_best and va >= max(self.valid_result):
+                    self.best_params = jax.device_get(self.params)
+                    self.best_epoch = epoch
+                    self.best_valid_auc = va
             self._log("*" * 50)
 
             Xi_train, Xv_train, y_train = batching.shuffle_arrays(
