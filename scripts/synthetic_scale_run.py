@@ -41,7 +41,16 @@ FULL_CRITEO_CAT_SIZES = [
     3177, 27, 11745, 225322, 11, 4727, 2058, 5, 238640, 18, 16, 67856, 89,
     50942]
 
-N_NUM, N_CAT, RANK, HID = 13, 26, 4, 32
+# Avazu-shaped: 23 fields / 1 numeric / ~1.54M features (paper.pdf Table 3;
+# per-field split synthesized — the reference hard-codes only Criteo's dims)
+AVAZU_CAT_SIZES = [
+    241, 8, 8, 3697, 4614, 25, 5481, 329, 31, 700000, 800000, 6793, 6, 5,
+    2509, 9, 10, 432, 5, 68, 169, 61]
+
+SHAPES = {"criteo": (13, 26, FULL_CRITEO_CAT_SIZES),
+          "avazu": (1, 22, AVAZU_CAT_SIZES)}
+
+RANK, HID = 4, 32
 
 
 def _zipf_cdfs(cat_sizes, a=1.05):
@@ -54,7 +63,8 @@ def _zipf_cdfs(cat_sizes, a=1.05):
 
 
 def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
-                   chunk: int = 250_000, min_count: int = 4):
+                   chunk: int = 250_000, min_count: int = 4,
+                   shape: str = "criteo"):
     """Chunked generation of (xi, xv, y, feature_sizes, oracle_logit).
 
     ``min_count``: ranks whose EXPECTED count over ``rows`` draws is below
@@ -65,18 +75,19 @@ def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
     embedding table memorizes, and every run is overfitting-dominated.
     """
     rng = np.random.default_rng(seed)
-    cat_sizes = (list(FULL_CRITEO_CAT_SIZES) if full_dims
-                 else [int(c) for c in rng.integers(10, 50000, N_CAT)])
+    n_num, n_cat, full_sizes = SHAPES[shape]
+    cat_sizes = (list(full_sizes) if full_dims
+                 else [int(c) for c in rng.integers(10, 50000, n_cat)])
 
     # planted model: linear + low-rank pairwise (FwFM-structure) + small MLP
-    w_num = (rng.normal(size=N_NUM) * 0.3).astype(np.float32)
+    w_num = (rng.normal(size=n_num) * 0.3).astype(np.float32)
     w_cat = [rng.normal(size=s).astype(np.float32) * 0.5 for s in cat_sizes]
     v_cat = [rng.normal(size=(s, RANK)).astype(np.float32) * 0.4
              for s in cat_sizes]
-    field_strength = np.triu(rng.normal(size=(N_CAT, N_CAT)) * 0.15, 1
+    field_strength = np.triu(rng.normal(size=(n_cat, n_cat)) * 0.15, 1
                              ).astype(np.float32)
-    mlp_w1 = (rng.normal(size=(N_CAT * RANK + N_NUM, HID)) *
-              (1.0 / np.sqrt(N_CAT * RANK + N_NUM))).astype(np.float32)
+    mlp_w1 = (rng.normal(size=(n_cat * RANK + n_num, HID)) *
+              (1.0 / np.sqrt(n_cat * RANK + n_num))).astype(np.float32)
     mlp_w2 = (rng.normal(size=HID) * 0.8).astype(np.float32)
 
     cdfs = _zipf_cdfs(cat_sizes)
@@ -85,20 +96,20 @@ def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
     cutoffs = [int(np.searchsorted(-p * rows, -float(min_count)))
                for p in pmf0]
     kept = sum(cutoffs)
-    xi = np.empty((rows, N_CAT), np.int32)
-    xv = rng.normal(size=(rows, N_NUM)).astype(np.float32)
+    xi = np.empty((rows, n_cat), np.int32)
+    xv = rng.normal(size=(rows, n_num)).astype(np.float32)
     logit = np.empty(rows, np.float32)
 
     for lo in range(0, rows, chunk):
         hi = min(rows, lo + chunk)
         n = hi - lo
-        for f in range(N_CAT):
+        for f in range(n_cat):
             u = rng.random(n)
             k = np.searchsorted(cdfs[f], u).astype(np.int32)
             xi[lo:hi, f] = np.where(k < cutoffs[f], k, 0)  # tail → index 0
         part = xv[lo:hi] @ w_num
-        emb = np.empty((n, N_CAT, RANK), np.float32)
-        for f in range(N_CAT):
+        emb = np.empty((n, n_cat, RANK), np.float32)
+        for f in range(n_cat):
             idx = xi[lo:hi, f]
             part += w_cat[f][idx]
             emb[:, f] = v_cat[f][idx]
@@ -111,7 +122,7 @@ def make_synthetic(rows: int, seed: int = 0, full_dims: bool = False,
     # normalize so the oracle AUC ceiling is high (~0.85+) and CTR ~ 0.25
     logit = (logit - logit.mean()) / (logit.std() + 1e-9) * 2.0 - 1.2
     y = (rng.random(rows) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
-    feature_sizes = [1] * N_NUM + cat_sizes
+    feature_sizes = [1] * n_num + cat_sizes
     return xi, xv, y, feature_sizes, logit, kept
 
 
@@ -126,21 +137,25 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
     from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
 
-    mcfg = ModelConfig(field_size=39, feature_sizes=tuple(feature_sizes),
-                       numerical=13, embedding_size=10, h_depth=3,
-                       deep_nodes=400,
+    n_num = SHAPES[args.shape][0]
+    mcfg = ModelConfig(field_size=len(feature_sizes),
+                       feature_sizes=tuple(feature_sizes),
+                       numerical=n_num, embedding_size=args.emb_size,
+                       h_depth=3, deep_nodes=args.deep_nodes,
                        use_logit=args.lr_only, use_fm=False, use_ffm=False,
                        use_fwfm=not args.lr_only, use_deep=not args.lr_only,
                        use_lw=not args.lr_only, use_fwlw=not args.lr_only)
-    # the paper's DeepLight recipe (README.md:87, paper.pdf §5.3): 2 warm +
-    # 8 prune epochs, prune every 10 iters, D-90 / R-90 / F-40
+    # the paper's DeepLight recipes (README.md:87, paper.pdf §5.3): warm +
+    # prune epochs, prune every 10 iters; Criteo D-90/R-90/F-40 via
+    # sparse=0.9, emb_corr=1, emb_r=0.444; Avazu D-98/R-90/F-0 via
+    # sparse=0.98, emb_corr=0.918, emb_r=0 (paper Table 6)
     tcfg = TrainConfig(
         n_epochs=(args.epochs if not deeplight else args.warm + args.prune_epochs),
-        batch_size=args.batch, learning_rate=1e-3, weight_decay=3e-7,
+        batch_size=args.batch, learning_rate=1e-3, weight_decay=args.l2,
         random_seed=args.seed, steps_per_call=args.steps_per_call,
         prune=deeplight, prune_fm=True, prune_r=True, prune_deep=True,
-        sparse=0.9, emb_r=0.444, emb_corr=1.0, warm=args.warm,
-        prune_omega=args.prune_omega,
+        sparse=args.sparse, emb_r=args.emb_r, emb_corr=args.emb_corr,
+        warm=args.warm, prune_omega=args.prune_omega,
         eval_train_rows=args.eval_train_rows)
     est = DeepFMEstimator(mcfg, tcfg)
     t0 = time.time()
@@ -191,7 +206,19 @@ def main():
     ap.add_argument("--lr-only", action="store_true")
     ap.add_argument("--steps-per-call", type=int, default=10)
     ap.add_argument("--full-criteo-dims", action="store_true",
-                    help="use the real 1.33M-feature Criteo cardinalities")
+                    help="use the full paper-scale cardinalities of --shape")
+    ap.add_argument("--shape", choices=list(SHAPES), default="criteo",
+                    help="dataset shape: criteo (39f/13num/1.33M) or "
+                         "avazu (23f/1num/~1.5M)")
+    ap.add_argument("--emb-size", type=int, default=10,
+                    help="embedding dim (paper: 10 criteo / 20 avazu)")
+    ap.add_argument("--deep-nodes", type=int, default=400,
+                    help="tower width (paper: 400 criteo / 300 avazu)")
+    ap.add_argument("--l2", type=float, default=3e-7,
+                    help="L2 (paper: 3e-7 criteo / 6e-7 avazu)")
+    ap.add_argument("--sparse", type=float, default=0.9)
+    ap.add_argument("--emb-r", type=float, default=0.444)
+    ap.add_argument("--emb-corr", type=float, default=1.0)
     ap.add_argument("--deeplight", action="store_true",
                     help="run the paper's prune recipe (D-90/R-90/F-40)")
     ap.add_argument("--compare", action="store_true",
@@ -222,7 +249,7 @@ def main():
     else:
         xi, xv, y, feature_sizes, logit, kept = make_synthetic(
             args.rows, args.seed, args.full_criteo_dims,
-            min_count=args.min_count)
+            min_count=args.min_count, shape=args.shape)
         if args.cache:
             np.savez(args.cache, xi=xi, xv=xv, y=y, logit=logit,
                      feature_sizes=np.asarray(feature_sizes), kept=kept)
