@@ -34,6 +34,18 @@ def test_bisection_threshold_matches_quantile_large():
         assert abs(thr_b - thr_q) < 1e-4
 
 
+def test_zero_target_prunes_nothing():
+    """emb_r=0 (the paper's Avazu F-0 recipe) must leave the group untouched,
+    including tiny Adam+L2-parked values ~1e-31 on never-sampled rows."""
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(pruning.BISECT_SIZE + 3,)).astype(np.float32)
+    w[: w.size // 2] = 1e-31     # never-sampled-row plateau values
+    thr = pruning.magnitude_threshold(jnp.asarray(w), jnp.float32(0.0))
+    assert float(thr) == 0.0
+    out = pruning.apply_threshold(jnp.asarray(w), thr)
+    assert int(jnp.sum(out == 0)) == 0
+
+
 def test_apply_threshold():
     w = jnp.asarray([-0.5, 0.01, 0.3, -0.02])
     out = np.asarray(pruning.apply_threshold(w, jnp.float32(0.1)))

@@ -64,12 +64,19 @@ def _bisect_threshold(absw: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def magnitude_threshold(w: jax.Array, target_sparsity: jax.Array) -> jax.Array:
-    """|w| value below which ``target_sparsity`` of entries fall."""
+    """|w| value below which ``target_sparsity`` of entries fall.
+
+    A zero target returns threshold 0.0 exactly (prune NOTHING) — the
+    reference's 100-iteration bisection underflows to 0 there
+    (``model/DeepFMs.py:807-823``), while a 40-iteration one leaves
+    ``max·2⁻⁴⁰ ≈ 5e-13``, which silently wipes never-sampled embedding rows
+    that Adam+L2 parks at |p| ~ 1e-31 (observed: an ``emb_r=0`` run reported
+    81% embedding sparsity)."""
     target = jnp.clip(target_sparsity, 0.0, 1.0)
     absw = jnp.abs(w.ravel())
-    if absw.size > BISECT_SIZE:
-        return _bisect_threshold(absw, target)
-    return jnp.quantile(absw, target)
+    thr = (_bisect_threshold(absw, target) if absw.size > BISECT_SIZE
+           else jnp.quantile(absw, target))
+    return jnp.where(target > 0.0, thr, 0.0)
 
 
 def apply_threshold(w: jax.Array, threshold: jax.Array) -> jax.Array:
