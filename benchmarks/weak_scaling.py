@@ -49,12 +49,21 @@ def run(per_device_batch: int = 4096, mode: str = "score",
         mesh = mesh_mod.make_mesh(data=data_ax, model=model_ax,
                                   devices=jax.devices()[:n])
         params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
-        params = mesh_mod.pad_rows_for_mesh(params, mesh)
-        params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
-        if exchange == "a2a" and model_ax > 1:
+        if exchange == "a2a_grid" and n > 1:
+            # tables over the full grid — no table-grad all-reduce
+            params = mesh_mod.pad_rows_for_mesh(params, mesh, n)
+            params = jax.device_put(params, mesh_mod.param_shardings(
+                params, mesh, es.GRID_AXES))
+            lookup = es.make_grid_lookup(mesh, spec)
+            b = per_device_batch * n
+        elif exchange in ("a2a", "a2a_grid") and model_ax > 1:
+            params = mesh_mod.pad_rows_for_mesh(params, mesh)
+            params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
             lookup = es.make_a2a_lookup(mesh, spec)
             b = per_device_batch * data_ax * model_ax   # batch over both axes
         else:
+            params = mesh_mod.pad_rows_for_mesh(params, mesh)
+            params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
             lookup = es.make_sharded_lookup(mesh, spec)
             b = per_device_batch * data_ax
         rng = np.random.default_rng(0)
@@ -62,7 +71,7 @@ def run(per_device_batch: int = 4096, mode: str = "score",
                           size=(b, 26)).astype(np.int32)
         xv = rng.normal(size=(b, 13)).astype(np.float32)
         y = (rng.random(b) < 0.3).astype(np.float32)
-        if exchange == "a2a" and model_ax > 1:
+        if exchange in ("a2a", "a2a_grid") and (model_ax > 1 or exchange == "a2a_grid"):
             s2, s1 = es.a2a_batch_sharding(mesh)
         else:
             s2, _, s1 = mesh_mod.batch_shardings(mesh)
@@ -108,7 +117,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=4096)
     ap.add_argument("--mode", choices=["score", "train"], default="score")
-    ap.add_argument("--exchange", choices=["psum", "a2a"], default="a2a")
+    ap.add_argument("--exchange", choices=["psum", "a2a", "a2a_grid"],
+                default="a2a_grid")
     ap.add_argument("--feature-scale", type=int, default=1)
     args = ap.parse_args()
     results = run(args.per_device_batch, args.mode, args.feature_scale,

@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -340,6 +341,42 @@ extern "C" double batched_throughput(int batch, int iters) {
   return double(batch) * iters / total_s;
 }
 
+// Multi-threaded batched inference: the reference's run_benchmark times the
+// 8192-batch forward at torch.set_num_threads(1) AND (4)
+// (model/DeepFMs.py:982-997). Here the batch is split across `threads`
+// workers sharing the read-only params; returns examples/s.
+extern "C" double batched_throughput_mt(int batch, int iters, int threads) {
+  if (threads <= 1) return batched_throughput(batch, iters);
+  Params p = make_params();
+  std::vector<float> xv = randn(size_t(batch) * kFields, 1.0f);
+  std::vector<float> sinks(threads, 0.0f);
+  auto t0 = Clock::now();
+  for (int i = 0; i < iters; ++i) {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int t = 0; t < threads; ++t) {
+      pool.emplace_back([&, t]() {
+        int lo = int(size_t(batch) * t / threads);
+        int hi = int(size_t(batch) * (t + 1) / threads);
+        float x0[kDeepIn];
+        float acc = 0.0f;
+        for (int b = lo; b < hi; ++b) {
+          const float* row = &xv[size_t(b) * kFields];
+          example_embedding(p, row, x0);
+          acc += fwfm_forward(p, row) + dense_dnn_forward(p, x0);
+        }
+        sinks[t] += acc;
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  float acc = 0.0f;
+  for (float s : sinks) acc += s;
+  g_sink = acc;
+  double total_s = ms_since(t0) / 1e3;
+  return double(batch) * iters / total_s;
+}
+
 #ifndef LATENCY_SIM_NO_MAIN
 int main(int argc, char** argv) {
   int iters = argc > 1 ? std::atoi(argv[1]) : 1000;
@@ -357,6 +394,14 @@ int main(int argc, char** argv) {
   }
   std::printf("batched dense DeepFwFM: %.0f examples/s (batch 2048)\n",
               batched_throughput(2048, std::max(1, iters / 200)));
+  // reference benchmark table rows: 8192-batch at 1 and 4 threads
+  // (model/DeepFMs.py:982-997)
+  for (int threads : {1, 4}) {
+    double eps = batched_throughput_mt(8192, std::max(1, iters / 200), threads);
+    std::printf("batched dense DeepFwFM: %.0f examples/s "
+                "(batch 8192, %d thread%s, %.3f ms/batch)\n",
+                eps, threads, threads > 1 ? "s" : "", 8192.0 / eps * 1e3);
+  }
   return 0;
 }
 #endif

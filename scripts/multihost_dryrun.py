@@ -42,14 +42,22 @@ mesh = mesh_mod.make_mesh(data=n_dev // 2 if n_dev >= 2 else 1,
                           model=2 if n_dev >= 2 else 1)
 cfg = _flagship(feature_scale=64, deep_nodes=32, embedding_size=4)
 params = jax.jit(lambda k: deepfwfm.init_params(k, cfg))(jax.random.PRNGKey(0))
-params = mesh_mod.pad_rows_for_mesh(params, mesh)
-params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
 spec = deepfwfm.make_embedding_spec(cfg)
 exchange = {exchange!r}
-if exchange == "a2a" and mesh.shape["model"] > 1:
+if exchange == "a2a_grid" and n_dev > 1:
+    params = mesh_mod.pad_rows_for_mesh(params, mesh, n_dev)
+    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh,
+                                                             es.GRID_AXES))
+    lookup = es.make_grid_lookup(mesh, spec)
+    B = 8 * n_dev
+elif exchange == "a2a" and mesh.shape["model"] > 1:
+    params = mesh_mod.pad_rows_for_mesh(params, mesh)
+    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
     lookup = es.make_a2a_lookup(mesh, spec)
     B = 8 * mesh.shape["data"] * mesh.shape["model"]
 else:
+    params = mesh_mod.pad_rows_for_mesh(params, mesh)
+    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
     lookup = es.make_sharded_lookup(mesh, spec)
     B = 8 * mesh.shape["data"]
 rng = np.random.default_rng(0)              # same global data on every host
@@ -58,7 +66,8 @@ xv = rng.normal(size=(B, 13)).astype(np.float32)
 y = (rng.random(B) < 0.3).astype(np.float32)
 
 # process-local shard → global array (the multi-host data-feeding path)
-if exchange == "a2a" and mesh.shape["model"] > 1:
+if (exchange == "a2a_grid" and n_dev > 1) or (
+        exchange == "a2a" and mesh.shape["model"] > 1):
     s2, s1 = es.a2a_batch_sharding(mesh)
 else:
     s2, _, s1 = mesh_mod.batch_shardings(mesh)
@@ -90,7 +99,8 @@ def main():
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--port", type=int, default=43219)
-    ap.add_argument("--exchange", choices=["psum", "a2a"], default="psum")
+    ap.add_argument("--exchange", choices=["psum", "a2a", "a2a_grid"],
+                default="psum")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -28,3 +28,16 @@ def test_sparsity_sweep_shape():
     sweep = NL.sparsity_sweep(densities=(0.2, 0.05), iters=20)
     assert set(sweep) == {0.2, 0.05}
     assert all(v > 0 for v in sweep.values())
+
+
+def test_thread_sweep_mt():
+    """1-vs-4-thread 8192-batch rows (reference model/DeepFMs.py:982-997):
+    both counts produce positive throughput and MT is not pathologically
+    slower than single-thread."""
+    from xsdeepfwfm_deprecated_tpu.serving import native_latency as nl
+
+    sweep = nl.thread_sweep(batch=2048, iters=2, threads=(1, 4))
+    assert set(sweep) == {1, 4}
+    assert sweep[1] > 0 and sweep[4] > 0
+    # shared CI silicon: only require MT not be catastrophically worse
+    assert sweep[4] > 0.5 * sweep[1], sweep

@@ -396,3 +396,56 @@ def test_orbax_strict_false_partial_restore(tmp_path):
     np.testing.assert_array_equal(rp["extra"], bigger["extra"])
     with pytest.raises(KeyError):
         ckpt.load_checkpoint(p, bigger, strict=True)
+
+
+def test_loss_log_mean_matches_across_k(tiny_criteo):
+    """VERDICT r2 #5: the logged "mean train-step loss" means the same thing
+    at every steps_per_call — per-REAL-step mean, with phantom tail steps
+    excluded. 2048 rows @ batch 256 = 8 batches; K=10 makes one group with 2
+    phantom steps, the exact case that skewed the old K-sum logging."""
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    import dataclasses
+
+    means, losses = {}, {}
+    for k in (1, 10):
+        mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                                train_kw=dict(n_epochs=1, batch_size=256,
+                                              steps_per_call=k))
+        mcfg = dataclasses.replace(mcfg, is_deep_dropout=False,
+                                   is_shallow_dropout=False)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+        means[k] = est.last_epoch_mean_loss
+    assert np.isfinite(means[1]) and np.isfinite(means[10])
+    np.testing.assert_allclose(means[1], means[10], rtol=1e-4)
+
+
+def test_kd_multi_step_matches_k1(tiny_criteo):
+    """VERDICT r2 #6: KD at steps_per_call>1 stacks teacher logits into the
+    (K, B) groups — same params and same logged loss as K=1 KD."""
+    field_size, train, _, _ = tiny_criteo
+    sl = slice(0, 2048)
+    import dataclasses
+    import jax
+
+    mcfg_t, tcfg_t = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                                train_kw=dict(n_epochs=1))
+    teacher = DeepFMEstimator(mcfg_t, tcfg_t)
+    teacher.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [])
+
+    results, means = {}, {}
+    for k in (1, 4):
+        mcfg, tcfg = small_cfgs(train, field_size, use_fwfm=True, use_deep=True,
+                                train_kw=dict(n_epochs=1, batch_size=256,
+                                              steps_per_call=k))
+        mcfg = dataclasses.replace(mcfg, is_deep_dropout=False,
+                                   is_shallow_dropout=False)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(train["index"][sl], train["value"][sl], train["label"][sl], [], [], [],
+                teacher_model=teacher)
+        results[k] = est.params
+        means[k] = est.last_epoch_mean_loss
+    np.testing.assert_allclose(means[1], means[4], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

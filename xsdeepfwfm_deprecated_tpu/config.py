@@ -159,7 +159,10 @@ class TrainConfig:
     # SURVEY §5.8). mesh_data=0 means "all remaining devices".
     mesh_data: int = 1               # data-parallel mesh axis size
     mesh_model: int = 1              # model-parallel axis (embedding row sharding)
-    exchange: str = "a2a"            # lookup exchange when mesh_model > 1: a2a | psum
+    exchange: str = "a2a_grid"       # lookup exchange on multi-device meshes:
+                                     # a2a_grid (tables over the full grid, no
+                                     # table-grad all-reduce — default) |
+                                     # a2a | psum (model-axis exchanges)
     early_stopping: bool = False
     greater_is_better: bool = True
     eval_batch_size: int = 8192      # reference eval_by_batch (:760-763)
@@ -240,8 +243,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Data-parallel mesh axis size (1 = no data sharding, 0 = all remaining devices)")
     p.add_argument("-mesh_model", default=1, type=int,
                    help="Model-parallel mesh axis size (embedding row sharding)")
-    p.add_argument("-exchange", default="a2a", type=str, choices=["a2a", "psum"],
-                   help="Sharded embedding-lookup exchange (used when -mesh_model > 1)")
+    p.add_argument("-exchange", default="a2a_grid", type=str,
+                   choices=["a2a_grid", "a2a", "psum"],
+                   help="Sharded embedding-lookup exchange (a2a_grid applies on "
+                        "any multi-device mesh; a2a/psum need -mesh_model > 1)")
     p.add_argument("-eval_train_rows", default=0, type=int,
                    help="Cap rows for the per-epoch train-metric eval "
                         "(TPU extension; 0 = full train set, reference behavior)")
@@ -298,7 +303,7 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         steps_per_call=getattr(pars, "steps_per_call", 1),
         mesh_data=getattr(pars, "mesh_data", 1),
         mesh_model=getattr(pars, "mesh_model", 1),
-        exchange=getattr(pars, "exchange", "a2a"),
+        exchange=getattr(pars, "exchange", "a2a_grid"),
         eval_train_rows=getattr(pars, "eval_train_rows", 0),
         save_model_path=(pars.save_model_path if pars.save_model_path not in (0, "0") else None),
     )

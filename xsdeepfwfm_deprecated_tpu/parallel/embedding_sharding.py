@@ -160,3 +160,52 @@ def a2a_batch_sharding(mesh: Mesh):
     from jax.sharding import NamedSharding
     return (NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None)),
             NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS))))
+
+
+# ---------------------------------------------------------------------------
+# Full-grid exchange: tables sharded over EVERY device (no data-axis replica)
+# ---------------------------------------------------------------------------
+
+GRID_AXES = (DATA_AXIS, MODEL_AXIS)
+
+
+def make_grid_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
+    """All-to-all lookup with table rows sharded over the FULL device grid.
+
+    The ``model``-axis a2a/psum exchanges replicate each table shard along
+    ``data``, so XLA must all-reduce the scatter-added table GRADIENTS over
+    the data axis every step — a dense, table-size-proportional collective
+    (measured in ``tests/test_sharding.py::test_compiled_collective_bytes``:
+    ``rows_local·E·4`` bytes/chip/step; ~27 MB at full-Criteo scale, dwarfing
+    the batch-proportional exchange). Sharding rows over all ``d·m`` devices
+    means every row (and its optimizer moments) lives on exactly ONE chip:
+    gradients arrive via the backward all-to-all and scatter-add locally —
+    no table-sized collective exists anywhere in the compiled step.
+
+    This is the classic DLRM placement (model-parallel tables + data-parallel
+    dense, one exchange each way per step) and the product default; use with
+    batch sharded ``P(('data','model'), ...)`` and tables padded to a
+    ``mesh.devices.size`` row multiple.
+    """
+
+    def lookup(tables, spec_, xi: jax.Array, xv: jax.Array) -> jax.Array:
+        raw, scale = emb_ops.build_indices(spec_, xi, xv)
+        offs = jnp.asarray(spec_.dense_offsets, dtype=raw.dtype)[None, :]
+        gidx = jnp.clip(offs + raw, 0, tables["dense"].shape[0] - 1)
+
+        exchange = shard_map(
+            partial(a2a_lookup_local, axis_name=GRID_AXES),
+            mesh=mesh,
+            in_specs=(P(GRID_AXES, None), P(GRID_AXES, None)),
+            out_specs=P(GRID_AXES, None, None),
+        )
+        dense_emb = exchange(tables["dense"], gidx)
+        if spec_.has_qr:
+            qr_emb = emb_ops._qr_gather(tables, spec_, raw)  # replicated q/r
+            mask = jnp.asarray(spec_.is_qr_field)[None, :, None]
+            emb = jnp.where(mask, qr_emb, dense_emb)
+        else:
+            emb = dense_emb
+        return emb * scale[..., None]
+
+    return lookup

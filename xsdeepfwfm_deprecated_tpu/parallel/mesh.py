@@ -6,9 +6,10 @@ documented broken, ``model/QREmbeddingBag.py:46``). This module is the
 TPU-native scaling story:
 
 * a named 2-D mesh ``('data', 'model')`` — batch parallel over ``data``,
-  embedding-table rows sharded over ``model``;
-* NamedShardings for the parameter pytree: packed tables row-sharded on
-  ``model`` (tables are ~97% of DeepFwFM parameters), everything else
+  embedding-table rows sharded over ``model`` or (grid exchange, the default)
+  over the FULL device grid;
+* NamedShardings for the parameter pytree: packed tables row-sharded
+  (tables are ~97% of DeepFwFM parameters), everything else
   (R matrix, MLP, linear heads) replicated;
 * multi-host initialization via ``jax.distributed``.
 
@@ -68,17 +69,22 @@ def _is_dense_table_path(path) -> bool:
     return bool(names) and names[-1] == "dense" and any(n in _TABLE_NAMES for n in names)
 
 
-def param_shardings(params: Dict, mesh: Mesh) -> Dict:
+def param_shardings(params: Dict, mesh: Mesh, table_axes=MODEL_AXIS) -> Dict:
     """NamedShardings for the parameter pytree: embedding tables row-sharded
-    over ``model``; everything else replicated. Also valid for optimizer-state
-    trees whose leaves mirror the parameter structure (Adam moments)."""
-    table_s = NamedSharding(mesh, P(MODEL_AXIS, None))
+    over ``table_axes`` (``model`` for the model-axis exchanges; the full
+    ``('data','model')`` grid for the grid exchange, which removes the dense
+    table-gradient all-reduce); everything else replicated. Also valid for
+    optimizer-state trees whose leaves mirror the parameter structure (Adam
+    moments)."""
+    table_s = NamedSharding(mesh, P(table_axes, None))
+    n_shards = int(np.prod([mesh.shape[a] for a in (
+        table_axes if isinstance(table_axes, tuple) else (table_axes,))]))
     repl = NamedSharding(mesh, P())
 
     def assign(path, leaf):
         if _is_dense_table_path(path):
             # only the dense packed table is sharded; q/r QR tables are tiny
-            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] % mesh.shape[MODEL_AXIS] == 0:
+            if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] % n_shards == 0:
                 return table_s
         return repl
 
@@ -92,13 +98,15 @@ def batch_shardings(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding, NamedShar
     return s2, s2, s1
 
 
-def pad_rows_for_mesh(params: Dict, mesh: Mesh) -> Dict:
-    """Pad packed dense tables so row counts divide the ``model`` axis.
+def pad_rows_for_mesh(params: Dict, mesh: Mesh, shards: Optional[int] = None) -> Dict:
+    """Pad packed dense tables so row counts divide the shard count
+    (default: the ``model`` axis size; the grid exchange passes
+    ``mesh.devices.size``).
 
     Pad rows sit past every real global index (indices never reach them), so
     semantics are unchanged; they are carried as zeros.
     """
-    m = mesh.shape[MODEL_AXIS]
+    m = shards if shards is not None else mesh.shape[MODEL_AXIS]
     if m <= 1:
         return params
     import jax.numpy as jnp
@@ -146,4 +154,4 @@ def batch_shardings_dict(mesh: Mesh, axes, stacked: bool = False) -> Dict[str, N
     lead = (None,) if stacked else ()
     s2 = NamedSharding(mesh, P(*lead, axes, None))
     s1 = NamedSharding(mesh, P(*lead, axes))
-    return {"xi": s2, "xv": s2, "y": s1, "mask": s1}
+    return {"xi": s2, "xv": s2, "y": s1, "mask": s1, "teacher": s1}

@@ -35,6 +35,8 @@ def _ensure_built() -> ctypes.CDLL:
     lib.latency_ms.argtypes = [ctypes.c_int, ctypes.c_double, ctypes.c_int]
     lib.batched_throughput.restype = ctypes.c_double
     lib.batched_throughput.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.batched_throughput_mt.restype = ctypes.c_double
+    lib.batched_throughput_mt.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -51,6 +53,20 @@ def batched_throughput(batch: int = 2048, iters: int = 5) -> float:
     """Batched dense DeepFwFM CPU throughput (examples/s)."""
     lib = _ensure_built()
     return float(lib.batched_throughput(batch, iters))
+
+
+def batched_throughput_mt(batch: int = 8192, iters: int = 5,
+                          threads: int = 4) -> float:
+    """Multi-threaded batched throughput — the reference's 1-vs-4-thread
+    8192-batch benchmark rows (``model/DeepFMs.py:982-997``)."""
+    lib = _ensure_built()
+    return float(lib.batched_throughput_mt(batch, iters, threads))
+
+
+def thread_sweep(batch: int = 8192, iters: int = 5,
+                 threads=(1, 4)) -> Dict[int, float]:
+    """examples/s at each thread count (reference benchmark table parity)."""
+    return {t: batched_throughput_mt(batch, iters, t) for t in threads}
 
 
 def sparsity_sweep(densities=(0.2, 0.1, 0.05, 0.02, 0.01, 0.005, 0.001),

@@ -212,6 +212,7 @@ class DeepFMEstimator:
         self._step = 0
         self.train_result: list = []
         self.valid_result: list = []
+        self.last_epoch_mean_loss: float = float("nan")
         self.best_params: Optional[Dict] = None   # populated by fit(keep_best=True)
         self.best_epoch: int = -1
         self.best_valid_auc: float = float("nan")
@@ -220,6 +221,8 @@ class DeepFMEstimator:
         self.mesh = None
         self._lookup_fn = None  # sharded-lookup override for model_forward
         self._fwd = None        # model_forward with the lookup bound
+        self._table_axes = "model"
+        self._table_shards = 1
 
     # ------------------------------------------------------------------ util
 
@@ -253,28 +256,47 @@ class DeepFMEstimator:
         from ..parallel import embedding_sharding as es
         from ..parallel import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(data=(None if md == 0 else md), model=mm)
-        if mm > 1:
+        exchange = self._exchange()
+        if exchange == "a2a_grid" and mesh.devices.size > 1:
+            # tables over the FULL grid: one row owner per device, so table
+            # grads never need a dense all-reduce (even when mesh_model == 1)
             spec = type(self).model_spec(self.mcfg)
-            exchange = getattr(tc, "exchange", "a2a")
+            self._lookup_fn = es.make_grid_lookup(mesh, spec)
+            self._table_axes = es.GRID_AXES
+            self._table_shards = mesh.devices.size
+        elif mm > 1:
+            spec = type(self).model_spec(self.mcfg)
             if exchange == "a2a":
                 self._lookup_fn = es.make_a2a_lookup(mesh, spec)
             elif exchange == "psum":
                 self._lookup_fn = es.make_sharded_lookup(mesh, spec)
             else:
-                raise ValueError(f"unknown exchange {exchange!r} (a2a | psum)")
+                raise ValueError(
+                    f"unknown exchange {exchange!r} (a2a_grid | a2a | psum)")
+            self._table_axes = mesh_mod.MODEL_AXIS
+            self._table_shards = mm
         else:
             # pure data parallelism: default lookup; XLA all-reduces grads
             self._lookup_fn = None
+            self._table_axes = mesh_mod.MODEL_AXIS
+            self._table_shards = 1
         self.mesh = mesh
         # rebuild cached compiled fns with the sharded lookup bound
         self._fwd = self._eval_fn = self._scan_eval_fn = None
         return mesh
 
+    def _exchange(self) -> str:
+        return getattr(self.tcfg, "exchange", "a2a_grid")
+
+    def _batch_over_both_axes(self) -> bool:
+        """a2a-family exchanges shard the batch over BOTH mesh axes."""
+        return self._lookup_fn is not None and self._exchange() in ("a2a", "a2a_grid")
+
     def _n_batch_shards(self) -> int:
         if self.mesh is None:
             return 1
         from ..parallel import mesh as mesh_mod
-        if self._lookup_fn is not None and getattr(self.tcfg, "exchange", "a2a") == "a2a":
+        if self._batch_over_both_axes():
             return self.mesh.devices.size
         return self.mesh.shape[mesh_mod.DATA_AXIS]
 
@@ -282,20 +304,21 @@ class DeepFMEstimator:
         if self.mesh is None:
             return None
         from ..parallel import mesh as mesh_mod
-        a2a = self._lookup_fn is not None and getattr(self.tcfg, "exchange", "a2a") == "a2a"
         return mesh_mod.batch_shardings_dict(
-            self.mesh, mesh_mod.batch_axes(a2a), stacked=stacked)
+            self.mesh, mesh_mod.batch_axes(self._batch_over_both_axes()),
+            stacked=stacked)
 
     def _shard_state(self):
         """Pad packed tables to the mesh and lay params + opt state out."""
         from ..parallel import mesh as mesh_mod
-        self.params = mesh_mod.pad_rows_for_mesh(self.params, self.mesh)
+        shards, axes = self._table_shards, self._table_axes
+        self.params = mesh_mod.pad_rows_for_mesh(self.params, self.mesh, shards)
         self.params = jax.device_put(
-            self.params, mesh_mod.param_shardings(self.params, self.mesh))
+            self.params, mesh_mod.param_shardings(self.params, self.mesh, axes))
         if self.opt_state is not None:
-            self.opt_state = mesh_mod.pad_rows_for_mesh(self.opt_state, self.mesh)
+            self.opt_state = mesh_mod.pad_rows_for_mesh(self.opt_state, self.mesh, shards)
             self.opt_state = jax.device_put(
-                self.opt_state, mesh_mod.param_shardings(self.opt_state, self.mesh))
+                self.opt_state, mesh_mod.param_shardings(self.opt_state, self.mesh, axes))
 
     @property
     def forward_fn(self):
@@ -385,25 +408,27 @@ class DeepFMEstimator:
                     f"batch_size {tc.batch_size} not divisible by the "
                     f"{n_shards} batch shards of mesh "
                     f"(data={self.mesh.shape['data']}, model={self.mesh.shape['model']}) "
-                    f"with exchange={getattr(tc, 'exchange', 'a2a')!r}")
+                    f"with exchange={self._exchange()!r}")
             self._shard_state()
             self._log(f"mesh: data={self.mesh.shape['data']} "
                       f"model={self.mesh.shape['model']} "
-                      f"exchange={getattr(tc, 'exchange', 'a2a')} "
+                      f"exchange={self._exchange()} "
                       f"({self.mesh.devices.size} devices)")
         batch_shardings = self._batch_shardings()
 
         use_kd = teacher_model is not None
-        # K steps per dispatch amortizes launch overhead; KD needs per-batch
-        # teacher logits, so it keeps K=1. Pruning fuses: K=prune_interval
-        # steps + one prune refresh per dispatch (schedule-identical to the
-        # reference's per-batch loop, model/DeepFMs.py:647-674).
-        k_steps = tc.steps_per_call if (tc.steps_per_call > 1 and not use_kd) else 1
+        # K steps per dispatch amortizes launch overhead. KD stacks the
+        # per-epoch teacher logits into the same (K, B) groups as the batches,
+        # so it runs at full multi-step cadence too. Pruning fuses:
+        # K=prune_interval steps + one prune refresh per dispatch
+        # (schedule-identical to the reference's per-batch loop,
+        # model/DeepFMs.py:647-674).
+        k_steps = tc.steps_per_call if tc.steps_per_call > 1 else 1
         fuse_prune = do_prune and k_steps > 1
         if fuse_prune:
             k_steps = tc.prune_interval
         if k_steps > 1:
-            multi_step = make_multi_step(self.mcfg, tc, optimizer, use_kd=False,
+            multi_step = make_multi_step(self.mcfg, tc, optimizer, use_kd=use_kd,
                                          forward_fn=self.forward_fn)
         if fuse_prune:
             prune_kw = dict(
@@ -413,7 +438,7 @@ class DeepFMEstimator:
                 dense_rows=(type(self).model_spec(self.mcfg).dense_rows
                             if self.mesh is not None else 0))
             multi_step_prune = make_multi_step(
-                self.mcfg, tc, optimizer, use_kd=False,
+                self.mcfg, tc, optimizer, use_kd=use_kd,
                 forward_fn=self.forward_fn, prune_kw=prune_kw)
         train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
                                      forward_fn=self.forward_fn)
@@ -439,7 +464,11 @@ class DeepFMEstimator:
 
         for epoch in range(start_epoch, tc.n_epochs):
             epoch_begin = time.time()
+            # per-dispatch loss SUMS + a real-step count: the logged mean is
+            # sum(losses over real steps)/n_real_steps, identical at every
+            # steps_per_call (phantom tail steps contribute exactly 0)
             epoch_losses = []
+            epoch_real_steps = 0
 
             teacher_logits_all = None
             if use_kd:
@@ -453,20 +482,32 @@ class DeepFMEstimator:
                 prune_now = fuse_prune and epoch >= tc.warm
 
                 def stacked(it):  # host-side (K, B, ...) reshape before H2D
+                    offset = 0
                     for g in it:
-                        yield {"xi": g["xi"].reshape(k_steps, tc.batch_size, c),
+                        out = {"xi": g["xi"].reshape(k_steps, tc.batch_size, c),
                                "xv": g["xv"].reshape(k_steps, tc.batch_size, -1),
                                "y": g["y"].reshape(k_steps, tc.batch_size),
                                "mask": g["mask"].reshape(k_steps, tc.batch_size),
                                # real (non-phantom) batches in this group — the
                                # reference's n_iter counts exactly these
                                "k_real": -(-g["n_valid"] // tc.batch_size)}
+                        if use_kd:
+                            # teacher logits stacked into the same (K, B)
+                            # groups → KD runs at multi-step dispatch cadence
+                            t = teacher_logits_all[offset:offset + group]
+                            if t.shape[0] < group:
+                                t = np.concatenate(
+                                    [t, np.zeros(group - t.shape[0], np.float32)])
+                            out["teacher"] = t.reshape(k_steps, tc.batch_size)
+                        offset += group
+                        yield out
 
                 zeros_k = jnp.zeros((k_steps, tc.batch_size), jnp.float32)
                 for gbatch in batching.prefetch_to_device(
                         stacked(batching.iter_batches(Xi_train, Xv_train, y_train, group)),
                         shardings=self._batch_shardings(stacked=True)):
                     step_key, sub = jax.random.split(step_key)
+                    teacher_k = gbatch["teacher"] if use_kd else zeros_k
                     if prune_now:
                         # schedule value at the fire point matches the K=1
                         # path bit-for-bit: n_iter = post-warm real batches
@@ -474,13 +515,14 @@ class DeepFMEstimator:
                         adaptive = tc.adaptive_sparse(n_iter)
                         self.params, self.opt_state, losses = multi_step_prune(
                             self.params, self.opt_state, gbatch["xi"], gbatch["xv"],
-                            gbatch["y"], gbatch["mask"], sub, zeros_k,
+                            gbatch["y"], gbatch["mask"], sub, teacher_k,
                             jnp.float32(adaptive))
                     else:
                         self.params, self.opt_state, losses = multi_step(
                             self.params, self.opt_state, gbatch["xi"], gbatch["xv"],
-                            gbatch["y"], gbatch["mask"], sub, zeros_k)
+                            gbatch["y"], gbatch["mask"], sub, teacher_k)
                     epoch_losses.append(jnp.sum(losses))
+                    epoch_real_steps += gbatch["k_real"]
                     self._step += k_steps
             offset = 0
             batches = (batching.prefetch_to_device(
@@ -505,6 +547,7 @@ class DeepFMEstimator:
                 # keep the loss on device — a float() here would sync every
                 # step and serialize the pipeline; fetched at epoch end
                 epoch_losses.append(loss)
+                epoch_real_steps += 1
                 offset += tc.batch_size
                 self._step += 1
 
@@ -520,7 +563,9 @@ class DeepFMEstimator:
                         prune_r=p_r and self.mcfg.use_fwfm)
 
             if epoch_losses:   # single device sync for the whole epoch
-                mean_step_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                mean_step_loss = (float(jnp.sum(jnp.stack(epoch_losses)))
+                                  / max(epoch_real_steps, 1))
+                self.last_epoch_mean_loss = mean_step_loss
                 self.logger.debug("epoch %d mean train-step loss: %.6f"
                                   % (epoch + 1, mean_step_loss))
             rep = sparsity_report(self.params)
