@@ -12,17 +12,21 @@ Baseline: the reference's own measured 8192-batch CPU forward for this same
 architecture — 1299.191 ms/batch single-thread (``data/results/criteo.md:5``,
 BASELINE.md) → 6305 examples/s. ``vs_baseline`` = ours / reference.
 
-Protocol (fixed so the number is comparable across rounds): compile, 5
-warm-up dispatches, then 5 repetitions of 20 timed iterations each with a
-block_until_ready per repetition; report the MEDIAN repetition. A roofline
-statement (achieved FLOP/s and HBM bytes/s vs v5e peaks) goes to stderr and
-is recorded in RESULTS.md.
+Protocol (round 3, fixing the round-2 physics failure — VERDICT r2 weak #1):
+the HEADLINE number is ON-CHIP time from ``scan_timeit``: 100 forwards
+chained in ONE dispatch through a ``lax.scan`` whose carry feeds each step's
+inputs (no CSE, no hoisting), median of 5 dispatches → ≥500 timed forwards
+with 5 RTTs total. The round-2 protocol (pipelined dispatch loop, one
+``block_until_ready`` per 20 enqueues) measured the host's ENQUEUE rate
+through the remote-attachment tunnel whenever the enqueue stream outran the
+chip, reporting 237.9M ex/s = 119% of the v5e bf16 peak — physically
+impossible. The pipelined wall-clock is still reported (stderr) as a
+cross-check; the roofline guard marks the JSON invalid if achieved FLOP/s
+exceeds the chip's peak.
 """
 
 import json
-import statistics
 import sys
-import time
 
 import numpy as np
 
@@ -54,6 +58,8 @@ def gather_bytes_per_example(cfg) -> float:
 
 
 def main():
+    import time
+
     import jax
 
     from xsdeepfwfm_deprecated_tpu.utils import enable_compilation_cache
@@ -61,6 +67,7 @@ def main():
 
     from __graft_entry__ import _flagship
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
 
     cfg = _flagship(full_criteo=True)
     params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
@@ -73,47 +80,53 @@ def main():
     fwd = jax.jit(lambda p, a, v: deepfwfm.forward(p, a, v, cfg))
     xi_d, xv_d = jax.device_put(xi), jax.device_put(xv)
     params = jax.device_put(params)
+    jax.block_until_ready(fwd(params, xi_d, xv_d))   # compile
 
-    # compile + 5 warm-up dispatches
-    jax.block_until_ready(fwd(params, xi_d, xv_d))
-    for _ in range(5):
-        out = fwd(params, xi_d, xv_d)
-    jax.block_until_ready(out)
+    # --- headline: ON-CHIP per-forward time (serialized scan, 5×100 fwds) ---
+    dt_chip = scan_timeit(fwd, params, xi_d, xv_d, iters=100, reps=5)
 
-    reps, iters = 5, 20
-    times = []
+    # --- cross-check: the round-2 pipelined wall clock (enqueue-bound on a
+    # tunnel; kept to quantify how wrong it is on this link) ----------------
+    reps, iters = 3, 50
+    wall = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fwd(params, xi_d, xv_d)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters)
-    dt = statistics.median(times)
+        wall.append((time.perf_counter() - t0) / iters)
+    dt_wall = sorted(wall)[len(wall) // 2]
 
-    examples_per_s = b / dt
+    examples_per_s = b / dt_chip
     baseline = 8192 / 1.299191  # reference 8192-batch 1-thread CPU ms → ex/s
 
-    # roofline: what bounds this number (stderr + RESULTS.md, not the JSON)
+    # roofline + sanity guard
     fpe = flops_per_example(cfg)
     bpe = gather_bytes_per_example(cfg)
     ach_flops = examples_per_s * fpe
     ach_gather = examples_per_s * bpe
+    roofline_ok = ach_flops <= V5E_PEAK_BF16_FLOPS
     emb_mb = sum(cfg.feature_sizes) * cfg.embedding_size * 4 / 1e6
     print(f"roofline: model=criteo-full ({sum(cfg.feature_sizes):,} features, "
           f"emb2 {emb_mb:.0f} MB > VMEM)\n"
           f"  {fpe / 1e6:.3f} MFLOP/ex, {bpe:.0f} B/ex gather\n"
+          f"  on-chip {dt_chip * 1e3:.3f} ms/batch (scan-serialized, 500 fwds) "
+          f"vs pipelined wall {dt_wall * 1e3:.3f} ms/batch "
+          f"(ratio {dt_wall / dt_chip:.2f})\n"
           f"  achieved {ach_flops / 1e12:.1f} TFLOP/s "
-          f"({100 * ach_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e bf16 peak), "
+          f"({100 * ach_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e bf16 peak"
+          f"{'' if roofline_ok else ' — IMPOSSIBLE, number invalid'}), "
           f"gather {ach_gather / 1e9:.1f} GB/s "
-          f"({100 * ach_gather / V5E_PEAK_HBM_BYTES:.1f}% of v5e HBM peak)\n"
-          f"  rep times (ms/batch): {[round(t * 1e3, 2) for t in times]}",
+          f"({100 * ach_gather / V5E_PEAK_HBM_BYTES:.1f}% of v5e HBM peak)",
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": "serve_throughput_deepfwfm_criteo_full_b8192",
+        "metric": "serve_throughput_deepfwfm_criteo_full_b8192_onchip",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_s / baseline, 2),
+        "roofline_ok": roofline_ok,
+        "pipelined_wall_examples_per_s": round(b / dt_wall, 1),
     }))
 
 

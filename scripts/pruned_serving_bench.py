@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""TPU pruned-serving benchmark: dense vs compacted-pruned vs int8 paths.
+
+The TPU mirror of the reference's sparse-serving latency study
+(``/root/reference/latency/criteo_latency.cpp:144-170``, paper Table 5:
+46×/27× single-example CSR speedups on CPU). On a TPU the MXU is a dense
+systolic array, so the win comes from STRUCTURAL compaction
+(:mod:`xsdeepfwfm_deprecated_tpu.serving.compaction`), not CSR:
+
+* ``unstructured-compact``: the paper's D-90/R-90/F-40 recipe applied
+  element-wise, then compacted — the honest arm: scattered zeros leave no
+  dead units, so the tower cannot shrink (expected ≈ dense latency, smaller
+  table footprint only via all-zero rows);
+* ``structured-compact``: D-90 at UNIT granularity (``-prune_deep_structured``,
+  TPU extension) → the 400³ tower compacts to ~126³ dense;
+* ``int8`` / ``int8-compact``: weight-only int8 embeddings + int8 MXU tower,
+  alone and on top of structured compaction.
+
+Timing is ON-CHIP via ``scan_timeit`` (one dispatch chains the forwards; a
+tunnel RTT cannot pollute the number) at batch 8192 and batch 1.
+
+``--checkpoint`` loads real pruned params (e.g. from
+``synthetic_scale_run.py --save``) instead of synthesizing the prune pattern
+on random init; ``--zero-rows`` additionally forces a given all-zero-row
+fraction into emb2 to model the trained F-pruning pattern.
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="", help="pruned checkpoint to load")
+    ap.add_argument("--zero-rows", type=float, default=0.0,
+                    help="force this all-zero-row fraction into emb2")
+    ap.add_argument("--sparse", type=float, default=0.9)
+    ap.add_argument("--emb-r", type=float, default=0.444)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batches", default="8192,1")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from xsdeepfwfm_deprecated_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from __graft_entry__ import _flagship
+    from xsdeepfwfm_deprecated_tpu.compression.pruning import prune_params
+    from xsdeepfwfm_deprecated_tpu.compression.quantization import convert
+    from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+    from xsdeepfwfm_deprecated_tpu.serving.compaction import (
+        compact_for_serving, compaction_report)
+    from xsdeepfwfm_deprecated_tpu.serving.predictor import Predictor
+    from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
+
+    cfg = _flagship(full_criteo=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+    if args.checkpoint:
+        params, _, _ = ckpt.load_checkpoint(args.checkpoint, params)
+        print(f"loaded {args.checkpoint}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+
+    def prune(p, structured):
+        # paper recipe rates: D at `sparse`, R at sparse·1.0, F at sparse·emb_r
+        p = prune_params(p, jnp.float32(args.sparse), emb_r=args.emb_r,
+                         emb_corr=1.0, prune_fm=not args.checkpoint,
+                         prune_deep=True, prune_r=True,
+                         structured_deep=structured)
+        if args.zero_rows > 0:
+            t = np.asarray(p["emb2"]["dense"]).copy()
+            kill = rng.random(t.shape[0]) < args.zero_rows
+            t[kill] = 0.0
+            p = dict(p)
+            p["emb2"] = dict(p["emb2"])
+            p["emb2"]["dense"] = jnp.asarray(t)
+        return p
+
+    p_unstr = prune(params, structured=False)
+    p_struct = prune(params, structured=True)
+
+    cm_unstr = compact_for_serving(p_unstr, cfg)
+    cm_struct = compact_for_serving(p_struct, cfg)
+    cm_struct8 = compact_for_serving(p_struct, cfg, int8=True)
+    qm = convert(params, cfg, mode="dynamic")
+
+    print("compaction (unstructured):",
+          json.dumps({k: v for k, v in compaction_report(p_unstr, cm_unstr, cfg).items()
+                      if not k.startswith("tower_shapes")}), file=sys.stderr)
+    rep_s = compaction_report(p_struct, cm_struct, cfg)
+    print("compaction (structured):  ",
+          json.dumps({k: v for k, v in rep_s.items()
+                      if not k.startswith("tower_shapes")}), file=sys.stderr)
+    print("  structured tower:", rep_s["tower_shapes_orig"], "→",
+          rep_s["tower_shapes_compact"], file=sys.stderr)
+
+    arms = [
+        ("fp32-dense", Predictor(params, cfg)),
+        ("unstructured-compact", Predictor(cm_unstr)),
+        ("structured-compact", Predictor(cm_struct)),
+        ("int8", Predictor(qm)),
+        ("int8-structured-compact", Predictor(cm_struct8)),
+    ]
+
+    rows = []
+    for bstr in args.batches.split(","):
+        b = int(bstr)
+        xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
+                          size=(b, 26)).astype(np.int32)
+        xv = rng.normal(size=(b, 13)).astype(np.float32)
+        xi_d, xv_d = jax.device_put(xi), jax.device_put(xv)
+        for name, pred in arms:
+            t = scan_timeit(pred._fn, pred._model, xi_d, xv_d,
+                            iters=args.iters, reps=3)
+            rows.append({"arm": name, "batch": b, "us_per_batch": t * 1e6,
+                         "examples_per_s": b / t})
+            print(f"  b={b:5d} {name:24s} {t * 1e6:10.1f} µs/batch "
+                  f"{b / t:14,.0f} ex/s", file=sys.stderr)
+
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

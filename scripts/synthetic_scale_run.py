@@ -165,6 +165,10 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
             xi[n_test:n_test + n_valid], xv[n_test:n_test + n_valid],
             y[n_test:n_test + n_valid], keep_best=True)
     wall = time.time() - t0
+    if args.save:
+        path = f"{args.save}_{'deeplight' if deeplight else 'dense'}"
+        est.save(path, epoch=tcfg.n_epochs - 1, sparse=deeplight)
+        print(f"saved checkpoint: {path}")
     loss, auc, prauc, rce = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
     rep = sparsity_report(est.params)
     groups = deepfwfm.param_group_counts(est.params, mcfg, nonzero=True)
@@ -233,6 +237,9 @@ def main():
                          "which ranks map to 0 (reference freq<4 rule)")
     ap.add_argument("--cache", default="",
                     help="npz path to cache/reuse the generated dataset")
+    ap.add_argument("--save", default="",
+                    help="checkpoint path prefix; saves <save>_dense / "
+                         "<save>_deeplight after each arm")
     args = ap.parse_args()
     if args.compare:
         # dense baseline gets the same total epoch budget as the prune run

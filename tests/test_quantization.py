@@ -224,3 +224,37 @@ def test_quantized_forward_fused_kernel_matches(trained_like_model):
     unfused_deep = np.asarray(q_ops.quantized_dense(h, fc_q[0], fc_q[1].reshape(-1), None))
     np.testing.assert_allclose(fused_deep, unfused_deep, rtol=0.05, atol=0.05)
     assert np.all(np.isfinite(no_deep))
+
+
+def test_fused_fallback_logs_warning(tiny_criteo):
+    """VERDICT r2 #7: when the fused Pallas tower is requested but the batch
+    doesn't satisfy its preconditions, the silent fallback now logs why.
+    (Captures with a direct handler: the product logger sets propagate=False,
+    so caplog's root handler never sees its records.)"""
+    import logging
+    field_size, train, _, _ = tiny_criteo
+    mcfg = ModelConfig(field_size=field_size,
+                       feature_sizes=tuple(train["feature_sizes"]),
+                       numerical=13, embedding_size=4, h_depth=2, deep_nodes=32,
+                       use_fwfm=True, use_deep=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(0), mcfg)
+    qm = Q.convert(params, mcfg, mode="dynamic")
+    xi = jnp.asarray(train["index"][:100].astype(np.int32))
+    xv = jnp.asarray(train["value"][:100].astype(np.float32))
+    records = []
+
+    class Catcher(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    lg = logging.getLogger("xsdeepfwfm_tpu")
+    h = Catcher(level=logging.WARNING)
+    lg.addHandler(h)
+    old_level = lg.level
+    lg.setLevel(logging.WARNING)
+    try:
+        Q.quantized_forward(qm, xi, xv, use_fused_kernel=True)
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+    assert any("falling back" in r.getMessage() for r in records)

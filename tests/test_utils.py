@@ -73,3 +73,24 @@ def test_simple_timeit_counts():
     calls = []
     t = simple_timeit(lambda: calls.append(1), tries=5, warmup=2)
     assert len(calls) == 7 and t >= 0
+
+
+def test_scan_timeit_scales_with_iters():
+    """scan_timeit chains iters forwards in one dispatch: doubling iters must
+    not change the per-forward time by more than ~3x (loose CPU bound), and
+    the result must be positive and finite."""
+    import jax.numpy as jnp
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
+
+    def fwd(model, xi, xv):
+        emb = jnp.take(model, xi, axis=0)            # gather like the lookup
+        return jnp.sum(emb * xv[..., None], axis=(1, 2))
+
+    model = jnp.asarray(np.random.default_rng(0).normal(size=(512, 16)),
+                        jnp.float32)
+    xi = jnp.zeros((64, 8), jnp.int32)
+    xv = jnp.ones((64, 8), jnp.float32)
+    t1 = scan_timeit(fwd, model, xi, xv, iters=8, reps=3)
+    t2 = scan_timeit(fwd, model, xi, xv, iters=16, reps=3)
+    assert t1 > 0 and t2 > 0
+    assert t2 < 3.0 * t1, (t1, t2)   # per-forward time stays in the same ballpark

@@ -17,6 +17,9 @@ def main(argv=None):
     parser.add_argument("-interaction_type", default=1, type=int,
                         help="1: bi-interaction pooling; 0: pairwise concat")
     parser.add_argument("-refit", default=0, type=int)
+    parser.add_argument("-nfm_sane_init", default=0, type=int,
+                        help="TPU extension: N(0,0.01) emb2 init instead of the "
+                             "reference's uninitialized N(0,1) (which diverges)")
     pars = parser.parse_args(argv)
     logger = get_logger("NFM")
     logger.info(pars)
@@ -29,7 +32,8 @@ def main(argv=None):
                      numerical=pars.numerical, embedding_size=pars.embedding_size,
                      h_depth=pars.h_depth, deep_nodes=pars.deep_nodes,
                      use_fm=True, use_deep=True, use_fwfm=False,
-                     interaction_type=bool(pars.interaction_type))
+                     interaction_type=bool(pars.interaction_type),
+                     sane_init=bool(pars.nfm_sane_init))
     tcfg = TrainConfig(n_epochs=pars.n_epochs, batch_size=pars.batch_size,
                        learning_rate=pars.learning_rate, weight_decay=pars.l2,
                        random_seed=pars.random_seed)

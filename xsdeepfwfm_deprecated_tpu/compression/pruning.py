@@ -84,17 +84,28 @@ def apply_threshold(w: jax.Array, threshold: jax.Array) -> jax.Array:
     return jnp.where(jnp.abs(w) < threshold, jnp.zeros_like(w), w)
 
 
-@partial(jax.jit, static_argnames=("prune_fm", "prune_deep", "prune_r", "dense_rows"))
+@partial(jax.jit, static_argnames=("prune_fm", "prune_deep", "prune_r",
+                                   "dense_rows", "structured_deep"))
 def prune_params(params: Dict, adaptive_sparse: jax.Array, *,
                  emb_r: float = 1.0, emb_corr: float = 1.0,
                  prune_fm: bool = True, prune_deep: bool = True,
-                 prune_r: bool = False, dense_rows: int = 0) -> Dict:
+                 prune_r: bool = False, dense_rows: int = 0,
+                 structured_deep: bool = False) -> Dict:
     """One prune refresh over the parameter pytree. Returns pruned params.
 
     ``dense_rows``: true row count of the packed ``dense`` table. When the
     table was padded to a mesh-divisible row count (``parallel.mesh.
     pad_rows_for_mesh``), the threshold quantile is computed over the real rows
-    only so the all-zero padding rows can't skew the schedule."""
+    only so the all-zero padding rows can't skew the schedule.
+
+    ``structured_deep``: TPU extension (CLI ``-prune_deep_structured``) —
+    prune whole hidden UNITS by weight-column L2 norm on the same adaptive
+    schedule, instead of scattered elements. Scattered zeros are worthless to
+    the MXU (a dense systolic array); unit pruning lets
+    :mod:`..serving.compaction` shrink the tower into a smaller DENSE tower
+    that serves proportionally faster — the TPU counterpart of the
+    reference's CSR sparse serving (``latency/criteo_latency.cpp:144-170``).
+    The unit's bias is zeroed with its column so the unit is fully dead."""
     params = dict(params)
 
     if prune_fm and "emb2" in params:
@@ -115,8 +126,18 @@ def prune_params(params: Dict, adaptive_sparse: jax.Array, *,
             for net_name, net in params["deep"].items():
                 layers = []
                 for layer in net["layers"]:
-                    thr = magnitude_threshold(layer["w"], adaptive_sparse)
-                    layers.append({"w": apply_threshold(layer["w"], thr), "b": layer["b"]})
+                    if structured_deep:
+                        w, b = layer["w"], layer["b"]
+                        norms = jnp.sqrt(jnp.sum(w * w, axis=0))   # per-unit
+                        thr = magnitude_threshold(norms, adaptive_sparse)
+                        dead = norms < thr
+                        layers.append({
+                            "w": jnp.where(dead[None, :], jnp.zeros_like(w), w),
+                            "b": jnp.where(dead, jnp.zeros_like(b), b)})
+                    else:
+                        thr = magnitude_threshold(layer["w"], adaptive_sparse)
+                        layers.append({"w": apply_threshold(layer["w"], thr),
+                                       "b": layer["b"]})
                 new_deep[net_name] = {"layers": layers, "fc_w": net["fc_w"]}
             params["deep"] = new_deep
         if "fwlw_w" in params:

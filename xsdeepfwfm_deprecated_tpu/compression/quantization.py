@@ -231,6 +231,15 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
         act = qm.act_scales
         fused_ok = (use_fused_kernel and act is None and cfg.num_deeps == 1
                     and b % 512 == 0)
+        if use_fused_kernel and not fused_ok:
+            # trace-time (once per compiled shape), so the jitted path is clean
+            import logging
+            logging.getLogger("xsdeepfwfm_tpu").warning(
+                "fused int8 tower requested but falling back to the layerwise "
+                "path: batch %d %% 512 = %d, act_scales %s, num_deeps %d "
+                "(fused needs batch%%512==0, dynamic scales, one net)",
+                b, b % 512, "static" if act is not None else "dynamic",
+                cfg.num_deeps)
         if fused_ok:
             from ..ops.pallas.int8_mlp import int8_mlp_pallas, pack_quantized_deep
             layers_q, fc_q = pack_quantized_deep(qm.deep_q)

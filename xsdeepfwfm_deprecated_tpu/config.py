@@ -142,6 +142,9 @@ class TrainConfig:
     emb_r: float = 1.0               # embedding sparsity ratio vs deep
     emb_corr: float = 1.0            # R-matrix sparsity ratio vs deep
     prune_interval: int = 10         # prune every N iterations (reference: i % 10 == 9)
+    prune_deep_structured: bool = False  # TPU extension: prune whole DNN units
+                                     # (column L2) so serving compaction yields
+                                     # a smaller DENSE tower (MXU-friendly)
     prune_damping: float = 0.99      # adaptive schedule damping D (reference :649)
     prune_omega: float = 100.0       # adaptive schedule Ω (reference :649)
 
@@ -205,6 +208,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-prune", default=0, type=int)
     p.add_argument("-prune_r", default=0, type=int)
     p.add_argument("-prune_deep", default=1, type=int)
+    p.add_argument("-prune_deep_structured", default=0, type=int,
+                   help="Prune whole DNN units instead of elements (TPU "
+                        "extension; enables serve-time tower compaction)")
     p.add_argument("-prune_fm", default=1, type=int)
     p.add_argument("-emb_r", default=1.0, type=float)
     p.add_argument("-emb_corr", default=1.0, type=float)
@@ -293,6 +299,7 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         prune=bool(pars.prune),
         prune_fm=bool(pars.prune_fm),
         prune_deep=bool(pars.prune_deep),
+        prune_deep_structured=bool(getattr(pars, "prune_deep_structured", 0)),
         prune_r=bool(pars.prune_r),
         sparse=pars.sparse,
         warm=pars.warm,

@@ -46,6 +46,14 @@ class NFMConfig(ModelConfig):
     (vs FFM); ``use_deep`` is implicitly True."""
     interaction_type: bool = True         # bi-interaction (True) vs pairwise concat
     deep_activation: str = "relu"         # relu | sigmoid | tanh (reference :252-257)
+    sane_init: bool = False               # TPU extension (-nfm_sane_init): scale
+                                          # emb2 to N(0, 0.01) like the DeepFwFM
+                                          # family instead of the reference's
+                                          # uninitialized torch-default N(0,1),
+                                          # whose bi-interaction explodes to
+                                          # O(F·E) logits (logloss 10-19 on
+                                          # tiny-criteo, PARITY.md). Default off
+                                          # = faithful chaos.
 
     def __post_init__(self):
         # NFM composes differently; skip the FM-family mutual-exclusion check
@@ -60,10 +68,14 @@ def make_spec(cfg: NFMConfig) -> emb_ops.PackedEmbeddingSpec:
 def init_params(key: jax.Array, cfg: NFMConfig, dtype=jnp.float32) -> Dict:
     spec = make_spec(cfg)
     k_bias, k1, k2, k_mlp = jax.random.split(key, 4)
-    params: Dict = {"bias": jax.random.normal(k_bias, (1,), dtype)}  # randn(1), :127
-    params["emb1"] = emb_ops.init_tables(k1, spec, 1, scale=1.0, dtype=dtype)
+    sane = getattr(cfg, "sane_init", False)
+    params: Dict = {"bias": (jnp.asarray([0.01], dtype) if sane
+                             else jax.random.normal(k_bias, (1,), dtype))}  # randn(1), :127
+    params["emb1"] = emb_ops.init_tables(k1, spec, 1,
+                                         scale=(0.01 if sane else 1.0), dtype=dtype)
     params["emb2"] = emb_ops.init_tables(k2, spec, cfg.embedding_size,
-                                         scale=1.0, dtype=dtype)  # torch default N(0,1)
+                                         scale=(0.01 if sane else 1.0),
+                                         dtype=dtype)  # torch default N(0,1)
     f = cfg.field_size
     in_dim = cfg.embedding_size if cfg.interaction_type else f * (f - 1) // 2
     dims = [in_dim] + list(cfg.deep_layers)

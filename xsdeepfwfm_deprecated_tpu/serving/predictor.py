@@ -16,16 +16,23 @@ import numpy as np
 from ..compression.quantization import QuantizedModel, quantized_forward
 from ..config import ModelConfig
 from ..models import deepfwfm
+from .compaction import CompactModel, compact_forward
 
 
 class Predictor:
-    """Holds (params | QuantizedModel) + a compiled forward; batch or single-example."""
+    """Holds (params | QuantizedModel | CompactModel) + a compiled forward;
+    batch or single-example."""
 
-    def __init__(self, model: Union[Dict, QuantizedModel], cfg: Optional[ModelConfig] = None):
+    def __init__(self, model: Union[Dict, QuantizedModel, CompactModel],
+                 cfg: Optional[ModelConfig] = None):
         # the model is always a jitted-function ARGUMENT, never a closure —
         # closed-over multi-MB arrays become graph constants (minutes of
         # compile, ~80x slower dispatch; measured, see RESULTS.md)
-        if isinstance(model, QuantizedModel):
+        if isinstance(model, CompactModel):
+            self.cfg = model.cfg
+            self._model = jax.device_put(model)
+            self._fn = jax.jit(compact_forward)
+        elif isinstance(model, QuantizedModel):
             self.cfg = model.cfg
             self._model = jax.device_put(model)
             fused = (jax.default_backend() == "tpu" and model.act_scales is None

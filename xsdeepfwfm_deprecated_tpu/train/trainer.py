@@ -435,6 +435,7 @@ class DeepFMEstimator:
                 emb_r=r_emb, emb_corr=r_corr,
                 prune_fm=p_fm and self.mcfg.needs_emb2, prune_deep=p_deep,
                 prune_r=p_r and self.mcfg.use_fwfm,
+                structured_deep=tc.prune_deep_structured,
                 dense_rows=(type(self).model_spec(self.mcfg).dense_rows
                             if self.mesh is not None else 0))
             multi_step_prune = make_multi_step(
@@ -560,7 +561,8 @@ class DeepFMEstimator:
                     self.params = prune_params(
                         self.params, jnp.float32(adaptive), emb_r=r_emb, emb_corr=r_corr,
                         prune_fm=p_fm and self.mcfg.needs_emb2, prune_deep=p_deep,
-                        prune_r=p_r and self.mcfg.use_fwfm)
+                        prune_r=p_r and self.mcfg.use_fwfm,
+                        structured_deep=tc.prune_deep_structured)
 
             if epoch_losses:   # single device sync for the whole epoch
                 mean_step_loss = (float(jnp.sum(jnp.stack(epoch_losses)))
