@@ -43,9 +43,13 @@ def main():
     ap.add_argument("--emb-r", type=float, default=0.444)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batches", default="8192,1")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + CPU backend (CI smoke, no TPU client)")
     args = ap.parse_args()
 
     import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from xsdeepfwfm_deprecated_tpu.utils import enable_compilation_cache
@@ -60,7 +64,8 @@ def main():
     from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
     from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
 
-    cfg = _flagship(full_criteo=True)
+    cfg = (_flagship(feature_scale=64, deep_nodes=64, embedding_size=8)
+           if args.smoke else _flagship(full_criteo=True))
     params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
     if args.checkpoint:
         params, _, _ = ckpt.load_checkpoint(args.checkpoint, params)
@@ -112,6 +117,7 @@ def main():
     rows = []
     for bstr in args.batches.split(","):
         b = int(bstr)
+        b = min(b, 256) if args.smoke else b
         xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
                           size=(b, 26)).astype(np.int32)
         xv = rng.normal(size=(b, 13)).astype(np.float32)

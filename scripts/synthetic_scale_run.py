@@ -167,7 +167,16 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
     wall = time.time() - t0
     if args.save:
         path = f"{args.save}_{'deeplight' if deeplight else 'dense'}"
-        est.save(path, epoch=tcfg.n_epochs - 1, sparse=deeplight)
+        if est.best_params is not None:
+            # serve/compress the best-valid-epoch model, as the reference's
+            # per-epoch torch.save workflow would
+            import jax
+            final = est.params
+            est.params = jax.device_put(est.best_params)
+            est.save(path, epoch=est.best_epoch, sparse=deeplight)
+            est.params = final
+        else:
+            est.save(path, epoch=tcfg.n_epochs - 1, sparse=deeplight)
         print(f"saved checkpoint: {path}")
     loss, auc, prauc, rce = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
     rep = sparsity_report(est.params)

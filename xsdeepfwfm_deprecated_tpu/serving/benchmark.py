@@ -10,8 +10,10 @@ Parity surface of the reference's ``run_benchmark`` (``model/DeepFMs.py:947-1009
 3. batched forward timing (default batch 8192) → ms/batch and examples/s;
 4. single-example latency (batch=1) over 1000 samples → mean ms.
 
-Extends it TPU-natively with examples/s/chip and an optional side-by-side of
-fp32 vs int8 vs pruned-masked serving paths.
+Extends it TPU-natively with examples/s/chip. The fp32 vs int8 vs
+compacted-pruned serving side-by-side lives in
+``scripts/pruned_serving_bench.py`` (on-chip scan timing over the arms built
+from :mod:`.compaction` and :mod:`..compression.quantization`).
 """
 
 from __future__ import annotations
