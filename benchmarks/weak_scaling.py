@@ -49,29 +49,19 @@ def run(per_device_batch: int = 4096, mode: str = "score",
         mesh = mesh_mod.make_mesh(data=data_ax, model=model_ax,
                                   devices=jax.devices()[:n])
         params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
-        if exchange == "a2a_grid" and n > 1:
-            # tables over the full grid — no table-grad all-reduce
-            params = mesh_mod.pad_rows_for_mesh(params, mesh, n)
-            params = jax.device_put(params, mesh_mod.param_shardings(
-                params, mesh, es.GRID_AXES))
-            lookup = es.make_grid_lookup(mesh, spec)
-            b = per_device_batch * n
-        elif exchange in ("a2a", "a2a_grid") and model_ax > 1:
-            params = mesh_mod.pad_rows_for_mesh(params, mesh)
-            params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
-            lookup = es.make_a2a_lookup(mesh, spec)
-            b = per_device_batch * data_ax * model_ax   # batch over both axes
-        else:
-            params = mesh_mod.pad_rows_for_mesh(params, mesh)
-            params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
-            lookup = es.make_sharded_lookup(mesh, spec)
-            b = per_device_batch * data_ax
+        lookup, table_axes, shards, batch_both = es.setup_exchange(
+            mesh, spec, exchange)
+        lookup = lookup or es.make_sharded_lookup(mesh, spec)
+        params = mesh_mod.pad_rows_for_mesh(params, mesh, shards)
+        params = jax.device_put(params, mesh_mod.param_shardings(
+            params, mesh, table_axes))
+        b = per_device_batch * (n if batch_both else data_ax)
         rng = np.random.default_rng(0)
         xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
                           size=(b, 26)).astype(np.int32)
         xv = rng.normal(size=(b, 13)).astype(np.float32)
         y = (rng.random(b) < 0.3).astype(np.float32)
-        if exchange in ("a2a", "a2a_grid") and (model_ax > 1 or exchange == "a2a_grid"):
+        if batch_both:
             s2, s1 = es.a2a_batch_sharding(mesh)
         else:
             s2, _, s1 = mesh_mod.batch_shardings(mesh)

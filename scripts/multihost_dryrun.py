@@ -44,30 +44,18 @@ cfg = _flagship(feature_scale=64, deep_nodes=32, embedding_size=4)
 params = jax.jit(lambda k: deepfwfm.init_params(k, cfg))(jax.random.PRNGKey(0))
 spec = deepfwfm.make_embedding_spec(cfg)
 exchange = {exchange!r}
-if exchange == "a2a_grid" and n_dev > 1:
-    params = mesh_mod.pad_rows_for_mesh(params, mesh, n_dev)
-    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh,
-                                                             es.GRID_AXES))
-    lookup = es.make_grid_lookup(mesh, spec)
-    B = 8 * n_dev
-elif exchange == "a2a" and mesh.shape["model"] > 1:
-    params = mesh_mod.pad_rows_for_mesh(params, mesh)
-    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
-    lookup = es.make_a2a_lookup(mesh, spec)
-    B = 8 * mesh.shape["data"] * mesh.shape["model"]
-else:
-    params = mesh_mod.pad_rows_for_mesh(params, mesh)
-    params = jax.device_put(params, mesh_mod.param_shardings(params, mesh))
-    lookup = es.make_sharded_lookup(mesh, spec)
-    B = 8 * mesh.shape["data"]
+lookup, table_axes, shards, batch_both = es.setup_exchange(mesh, spec, exchange)
+lookup = lookup or es.make_sharded_lookup(mesh, spec)
+params = mesh_mod.pad_rows_for_mesh(params, mesh, shards)
+params = jax.device_put(params, mesh_mod.param_shardings(params, mesh, table_axes))
+B = 8 * (n_dev if batch_both else mesh.shape["data"])
 rng = np.random.default_rng(0)              # same global data on every host
 xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]], size=(B, 26)).astype(np.int32)
 xv = rng.normal(size=(B, 13)).astype(np.float32)
 y = (rng.random(B) < 0.3).astype(np.float32)
 
 # process-local shard → global array (the multi-host data-feeding path)
-if (exchange == "a2a_grid" and n_dev > 1) or (
-        exchange == "a2a" and mesh.shape["model"] > 1):
+if batch_both:
     s2, s1 = es.a2a_batch_sharding(mesh)
 else:
     s2, _, s1 = mesh_mod.batch_shardings(mesh)

@@ -167,17 +167,19 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
     wall = time.time() - t0
     if args.save:
         path = f"{args.save}_{'deeplight' if deeplight else 'dense'}"
-        if est.best_params is not None:
-            # serve/compress the best-valid-epoch model, as the reference's
-            # per-epoch torch.save workflow would
-            import jax
-            final = est.params
-            est.params = jax.device_put(est.best_params)
-            est.save(path, epoch=est.best_epoch, sparse=deeplight)
-            est.params = final
-        else:
-            est.save(path, epoch=tcfg.n_epochs - 1, sparse=deeplight)
+        # FINAL params (for DeepLight: the fully-ramped sparsity pattern the
+        # serving compaction consumes), with optimizer state for resume
+        est.save(path, epoch=tcfg.n_epochs - 1, sparse=deeplight)
         print(f"saved checkpoint: {path}")
+        if est.best_params is not None:
+            # best-valid-epoch params too (the reference's per-epoch
+            # torch.save workflow recovers this); PARAMS ONLY — pairing
+            # best-epoch weights with final-epoch Adam moments would be a
+            # silently inconsistent resume state
+            from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
+            ckpt.save_checkpoint(f"{path}_best", est.best_params, None,
+                                 step=0, epoch=est.best_epoch, sparse=deeplight)
+            print(f"saved checkpoint: {path}_best (epoch {est.best_epoch + 1})")
     loss, auc, prauc, rce = est.eval_by_batch(xi[:n_test], xv[:n_test], y[:n_test])
     rep = sparsity_report(est.params)
     groups = deepfwfm.param_group_counts(est.params, mcfg, nonzero=True)

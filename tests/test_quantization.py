@@ -239,8 +239,10 @@ def test_fused_fallback_logs_warning(tiny_criteo):
                        use_fwfm=True, use_deep=True)
     params = deepfwfm.init_params(jax.random.PRNGKey(0), mcfg)
     qm = Q.convert(params, mcfg, mode="dynamic")
-    xi = jnp.asarray(train["index"][:100].astype(np.int32))
-    xv = jnp.asarray(train["value"][:100].astype(np.float32))
+    # b=600 >= 512 (a "fused was plausible" batch); b < 512 is the by-design
+    # small-batch path and stays silent
+    xi = jnp.asarray(train["index"][:600].astype(np.int32))
+    xv = jnp.asarray(train["value"][:600].astype(np.float32))
     records = []
 
     class Catcher(logging.Handler):

@@ -231,8 +231,11 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
         act = qm.act_scales
         fused_ok = (use_fused_kernel and act is None and cfg.num_deeps == 1
                     and b % 512 == 0)
-        if use_fused_kernel and not fused_ok:
-            # trace-time (once per compiled shape), so the jitted path is clean
+        if use_fused_kernel and not fused_ok and b >= 512:
+            # trace-time (once per compiled shape), so the jitted path is
+            # clean. b < 512 is the by-design single/small-batch serving path
+            # (the kernel tiles at 512 rows) — warning there would train
+            # users to ignore it.
             import logging
             logging.getLogger("xsdeepfwfm_tpu").warning(
                 "fused int8 tower requested but falling back to the layerwise "

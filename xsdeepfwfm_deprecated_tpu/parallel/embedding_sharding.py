@@ -162,6 +162,35 @@ def a2a_batch_sharding(mesh: Mesh):
             NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS))))
 
 
+def setup_exchange(mesh: Mesh, spec: PackedEmbeddingSpec, exchange: str):
+    """Resolve an exchange name to its full wiring — the ONE place that knows
+    which exchange shards what (trainer, benchmarks and the multi-host dryrun
+    all call this instead of re-deriving it).
+
+    Returns ``(lookup_fn, table_axes, table_shards, batch_over_both)``:
+    ``lookup_fn`` is None when the exchange degenerates to replicated tables
+    (a2a/psum with a trivial model axis — pure data parallelism);
+    ``table_axes``/``table_shards`` feed ``mesh.param_shardings`` /
+    ``mesh.pad_rows_for_mesh``; ``batch_over_both`` says whether the batch
+    dimension spans both mesh axes (a2a family) or ``data`` only (psum).
+    """
+    m = mesh.shape[MODEL_AXIS]
+    n = mesh.devices.size
+    if exchange == "a2a_grid":
+        if n > 1:
+            return make_grid_lookup(mesh, spec), GRID_AXES, n, True
+        return None, MODEL_AXIS, 1, True
+    if exchange == "a2a":
+        if m > 1:
+            return make_a2a_lookup(mesh, spec), MODEL_AXIS, m, True
+        return None, MODEL_AXIS, 1, False
+    if exchange == "psum":
+        if m > 1:
+            return make_sharded_lookup(mesh, spec), MODEL_AXIS, m, False
+        return None, MODEL_AXIS, 1, False
+    raise ValueError(f"unknown exchange {exchange!r} (a2a_grid | a2a | psum)")
+
+
 # ---------------------------------------------------------------------------
 # Full-grid exchange: tables sharded over EVERY device (no data-axis replica)
 # ---------------------------------------------------------------------------

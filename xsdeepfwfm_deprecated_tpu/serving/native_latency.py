@@ -27,9 +27,11 @@ def _ensure_built() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR, "liblatency_sim.so"], check=True,
-                       capture_output=True)
+    # ALWAYS invoke make: it is timestamp-based and near-free when current,
+    # and a stale prebuilt .so (from before a symbol was added) would
+    # otherwise break every binding with an undefined-symbol AttributeError
+    subprocess.run(["make", "-C", _NATIVE_DIR, "liblatency_sim.so"], check=True,
+                   capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.latency_ms.restype = ctypes.c_double
     lib.latency_ms.argtypes = [ctypes.c_int, ctypes.c_double, ctypes.c_int]

@@ -223,6 +223,7 @@ class DeepFMEstimator:
         self._fwd = None        # model_forward with the lookup bound
         self._table_axes = "model"
         self._table_shards = 1
+        self._batch_both = False
 
     # ------------------------------------------------------------------ util
 
@@ -256,30 +257,13 @@ class DeepFMEstimator:
         from ..parallel import embedding_sharding as es
         from ..parallel import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(data=(None if md == 0 else md), model=mm)
-        exchange = self._exchange()
-        if exchange == "a2a_grid" and mesh.devices.size > 1:
-            # tables over the FULL grid: one row owner per device, so table
-            # grads never need a dense all-reduce (even when mesh_model == 1)
-            spec = type(self).model_spec(self.mcfg)
-            self._lookup_fn = es.make_grid_lookup(mesh, spec)
-            self._table_axes = es.GRID_AXES
-            self._table_shards = mesh.devices.size
-        elif mm > 1:
-            spec = type(self).model_spec(self.mcfg)
-            if exchange == "a2a":
-                self._lookup_fn = es.make_a2a_lookup(mesh, spec)
-            elif exchange == "psum":
-                self._lookup_fn = es.make_sharded_lookup(mesh, spec)
-            else:
-                raise ValueError(
-                    f"unknown exchange {exchange!r} (a2a_grid | a2a | psum)")
-            self._table_axes = mesh_mod.MODEL_AXIS
-            self._table_shards = mm
-        else:
-            # pure data parallelism: default lookup; XLA all-reduces grads
-            self._lookup_fn = None
-            self._table_axes = mesh_mod.MODEL_AXIS
-            self._table_shards = 1
+        # one resolver for exchange → (lookup, table layout, batch layout);
+        # a2a_grid shards tables over the FULL grid so table grads never need
+        # a dense all-reduce (even when mesh_model == 1); a2a/psum shard over
+        # `model` and degenerate to pure data parallelism when mm == 1
+        (self._lookup_fn, self._table_axes, self._table_shards,
+         self._batch_both) = es.setup_exchange(
+            mesh, type(self).model_spec(self.mcfg), self._exchange())
         self.mesh = mesh
         # rebuild cached compiled fns with the sharded lookup bound
         self._fwd = self._eval_fn = self._scan_eval_fn = None
@@ -290,7 +274,7 @@ class DeepFMEstimator:
 
     def _batch_over_both_axes(self) -> bool:
         """a2a-family exchanges shard the batch over BOTH mesh axes."""
-        return self._lookup_fn is not None and self._exchange() in ("a2a", "a2a_grid")
+        return self._lookup_fn is not None and self._batch_both
 
     def _n_batch_shards(self) -> int:
         if self.mesh is None:
