@@ -26,8 +26,11 @@ sys.path.insert(0, ".")
 
 
 def run(per_device_batch: int = 4096, mode: str = "score",
-        feature_scale: int = 1, tries: int = 10, exchange: str = "a2a"):
+        feature_scale: int = 1, tries: int = 10, exchange: str = "a2a_grid",
+        force_cpu: bool = False):
     import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -110,9 +113,12 @@ def main():
     ap.add_argument("--exchange", choices=["psum", "a2a", "a2a_grid"],
                 default="a2a_grid")
     ap.add_argument("--feature-scale", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual-mesh runs; never "
+                         "attaches the TPU tunnel)")
     args = ap.parse_args()
     results = run(args.per_device_batch, args.mode, args.feature_scale,
-                  exchange=args.exchange)
+                  exchange=args.exchange, force_cpu=args.cpu)
     for n, r in results.items():
         print(json.dumps(r))
 

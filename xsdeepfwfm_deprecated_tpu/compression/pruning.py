@@ -41,8 +41,14 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 
 # above this many elements, threshold search switches from sort-based quantile
-# to the bandwidth-bound bisection (reference binary_search_threshold)
-BISECT_SIZE = 1 << 20
+# to the bandwidth-bound bisection (reference binary_search_threshold).
+# 16K keeps exact quantiles for the small tensors (field_cov, fwlw, first MLP
+# rows) while the 156K-160K deep-layer weights use bisection — a TPU bitonic
+# sort of 160K elements costs ~ms while 40 bisection passes cost ~µs, and at
+# prune_interval=10 the refresh runs 390×/epoch at Criteo scale (this was the
+# bulk of the pruned-epoch overhead; bisection is also the reference's own
+# algorithm, model/DeepFMs.py:807-823).
+BISECT_SIZE = 1 << 14
 BISECT_ITERS = 40
 
 

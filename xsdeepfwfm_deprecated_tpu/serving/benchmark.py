@@ -185,24 +185,37 @@ def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
         predictor.logits(bxi, bxv)
     results.update(op_summary(predictor, bxi, bxv, log=log))
 
-    # 3. batched forward timing (reference :982-997). Arrays are device-put
-    # once outside the timed lambda — the reference's time_forward_pass also
-    # times only the forward, after tensor construction (:1012-1028).
+    # 3. batched forward timing (reference :982-997). Two numbers: wall clock
+    # with a sync per call (includes host↔device round trips — the honest
+    # "what a caller sees" figure) and ON-CHIP time from a scan-serialized
+    # dispatch (what the chip spends; immune to remote-attachment RTT).
+    # Arrays are device-put once outside the timed lambda — the reference's
+    # time_forward_pass also times only the forward, after tensor
+    # construction (:1012-1028).
+    from ..utils.profiling import scan_timeit
     bxi_d = jax.device_put(jax.numpy.asarray(bxi))
     bxv_d = jax.device_put(jax.numpy.asarray(bxv))
     t_batch = simple_timeit(lambda: predictor._fn(predictor._model, bxi_d, bxv_d), tries=20)
+    t_chip = scan_timeit(predictor._fn, predictor._model, bxi_d, bxv_d,
+                         iters=50, reps=3)
     results["batch_ms"] = t_batch * 1e3
-    results["examples_per_s"] = batch_size / t_batch
+    results["batch_onchip_ms"] = t_chip * 1e3
+    results["examples_per_s"] = batch_size / t_chip
     results["examples_per_s_per_chip"] = results["examples_per_s"] / max(jax.device_count(), 1)
-    log("\tAvg forward pass time per batch (ms):\t{:.3f}".format(results["batch_ms"]))
-    log("\tThroughput (examples/s):\t{:.0f}".format(results["examples_per_s"]))
+    log("\tAvg forward pass time per batch (ms):\t{:.3f} wall / {:.3f} on-chip".format(
+        results["batch_ms"], results["batch_onchip_ms"]))
+    log("\tThroughput (examples/s, on-chip):\t{:.0f}".format(results["examples_per_s"]))
     log("\tThroughput (examples/s/chip):\t{:.0f}".format(results["examples_per_s_per_chip"]))
 
-    # 4. single-example latency (reference :999-1009)
+    # 4. single-example latency (reference :999-1009) — wall + on-chip
     xi1 = jax.numpy.asarray(Xi[:1])
     xv1 = jax.numpy.asarray(Xv[:1])
     t_single = simple_timeit(lambda: predictor._fn(predictor._model, xi1, xv1),
                              tries=min(n_single, 1000), warmup=3)
+    t1_chip = scan_timeit(predictor._fn, predictor._model, xi1, xv1,
+                          iters=min(n_single, 1000), reps=3)
     results["single_example_ms"] = t_single * 1e3
-    log("\tAvg forward pass time (ms):\t{:.3f}".format(results["single_example_ms"]))
+    results["single_example_onchip_ms"] = t1_chip * 1e3
+    log("\tAvg forward pass time (ms):\t{:.3f} wall / {:.3f} on-chip".format(
+        results["single_example_ms"], results["single_example_onchip_ms"]))
     return results
