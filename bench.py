@@ -12,21 +12,33 @@ Baseline: the reference's own measured 8192-batch CPU forward for this same
 architecture — 1299.191 ms/batch single-thread (``data/results/criteo.md:5``,
 BASELINE.md) → 6305 examples/s. ``vs_baseline`` = ours / reference.
 
-Protocol (round 3, fixing the round-2 physics failure — VERDICT r2 weak #1):
-the HEADLINE number is ON-CHIP time from ``scan_timeit``: 100 forwards
-chained in ONE dispatch through a ``lax.scan`` whose carry feeds each step's
-inputs (no CSE, no hoisting), median of 5 dispatches → ≥500 timed forwards
-with 5 RTTs total. The round-2 protocol (pipelined dispatch loop, one
-``block_until_ready`` per 20 enqueues) measured the host's ENQUEUE rate
-through the remote-attachment tunnel whenever the enqueue stream outran the
-chip, reporting 237.9M ex/s = 119% of the v5e bf16 peak — physically
-impossible. The pipelined wall-clock is still reported (stderr) as a
-cross-check; the roofline guard marks the JSON invalid if achieved FLOP/s
-exceeds the chip's peak.
+Protocol (round 3, third iteration — the first two were measurement
+failures, both kept as labeled cross-checks):
+
+* round 2 pipelined dispatch loops measured the HOST'S ENQUEUE rate through
+  the remote-attachment tunnel (``block_until_ready`` on this platform can
+  return before on-chip work completes — a 100-step scan "finished" in
+  0.26 ms while fetching its scalar result took 961 ms), reporting 237.9M
+  ex/s = 119% of the v5e bf16 peak;
+* a scan-serialized chain (one dispatch running N forwards back-to-back)
+  forces completion correctly but the scan environment runs TPU gathers
+  ~3-4× slower than straight-line code (measured: the same 320K-row lookup
+  is 1.3 ms outside a scan body and 4-10 ms inside one), so it OVERSTATES
+  serving cost;
+* the HEADLINE here is the MARGINAL cost of one forward in a straight-line
+  dispatch: time(K2 independent forwards in one jit) − time(K1) divided by
+  K2−K1, completion forced by ``jax.device_get`` of the summed logits.
+  Distinct input batches defeat CSE; the summed output defeats DCE; the
+  subtraction cancels the dispatch RTT. This equals steady-state streaming
+  throughput on chip.
+
+A roofline guard marks the JSON invalid if achieved FLOP/s exceeds the
+chip's bf16 peak.
 """
 
 import json
 import sys
+import time
 
 import numpy as np
 
@@ -50,16 +62,44 @@ def flops_per_example(cfg) -> float:
 
 
 def gather_bytes_per_example(cfg) -> float:
-    """HBM gather traffic per example: emb2 (F rows × E fp32) + emb1 (F fp32).
-    Dense weights are batch-amortized and mostly VMEM-resident; this is the
-    per-example irreducible HBM read."""
-    F, E = cfg.field_size, cfg.embedding_size
-    return F * E * 4.0 + F * 4.0
+    """HBM gather traffic per example, PADDED layout: the (N, 10) f32 table
+    is lane-padded to 128 on TPU, so each gathered categorical row moves a
+    512-byte line; numeric rows are static slices (no gather)."""
+    C = cfg.field_size - cfg.numerical
+    return C * 128 * 4.0
+
+
+def marginal_time(make_fn, inputs, k1=1, k2=16, reps=7):
+    """Seconds per op: slope of one-dispatch time in the number of
+    independent replicas. ``inputs`` is a list of ≥k2 distinct input tuples;
+    completion forced via D2H fetch of the summed scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    def mk(k):
+        @jax.jit
+        def run(args_list):
+            tot = jnp.float32(0.0)
+            for a in args_list:
+                tot = tot + jnp.sum(make_fn(*a))
+            return tot
+        return run
+
+    r1, r2 = mk(k1), mk(k2)
+    jax.device_get(r1(inputs[:k1]))
+    jax.device_get(r2(inputs[:k2]))
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(r1(inputs[:k1]))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(r2(inputs[:k2]))
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (k2 - k1)
 
 
 def main():
-    import time
-
     import jax
 
     from xsdeepfwfm_deprecated_tpu.utils import enable_compilation_cache
@@ -67,34 +107,39 @@ def main():
 
     from __graft_entry__ import _flagship
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
+    from xsdeepfwfm_deprecated_tpu.ops.embedding import packed_lookup_serving
     from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
 
     cfg = _flagship(full_criteo=True)
-    params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)
     b = 8192
-    xi = np.ascontiguousarray(
-        rng.integers(0, [s for s in cfg.feature_sizes[13:]], size=(b, 26)).astype(np.int32))
-    xv = rng.normal(size=(b, 13)).astype(np.float32)
+    K2 = 16
+    inputs = []
+    for _ in range(K2):
+        xi = np.ascontiguousarray(rng.integers(
+            0, [s for s in cfg.feature_sizes[13:]], size=(b, 26)).astype(np.int32))
+        xv = rng.normal(size=(b, 13)).astype(np.float32)
+        inputs.append((jax.device_put(xi), jax.device_put(xv)))
 
-    fwd = jax.jit(lambda p, a, v: deepfwfm.forward(p, a, v, cfg))
-    xi_d, xv_d = jax.device_put(xi), jax.device_put(xv)
-    params = jax.device_put(params)
-    jax.block_until_ready(fwd(params, xi_d, xv_d))   # compile
+    def fwd(xi, xv):
+        return deepfwfm.forward(params, xi, xv, cfg,
+                                lookup_fn=packed_lookup_serving)
 
-    # --- headline: ON-CHIP per-forward time (serialized scan, 5×100 fwds) ---
-    dt_chip = scan_timeit(fwd, params, xi_d, xv_d, iters=100, reps=5)
+    # --- headline: marginal on-chip time per batch-8192 forward ------------
+    dt_chip = marginal_time(fwd, inputs)
 
-    # --- cross-check: the round-2 pipelined wall clock (enqueue-bound on a
-    # tunnel; kept to quantify how wrong it is on this link) ----------------
-    reps, iters = 3, 50
+    # --- cross-checks ------------------------------------------------------
+    jfwd = jax.jit(lambda p, a, v: deepfwfm.forward(
+        p, a, v, cfg, lookup_fn=packed_lookup_serving))
+    dt_scan = scan_timeit(jfwd, params, *inputs[0], iters=50, reps=3)
     wall = []
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(params, xi_d, xv_d)
+        for _ in range(50):
+            out = jfwd(params, *inputs[0])
         jax.block_until_ready(out)
-        wall.append((time.perf_counter() - t0) / iters)
+        wall.append((time.perf_counter() - t0) / 50)
     dt_wall = sorted(wall)[len(wall) // 2]
 
     examples_per_s = b / dt_chip
@@ -105,19 +150,21 @@ def main():
     bpe = gather_bytes_per_example(cfg)
     ach_flops = examples_per_s * fpe
     ach_gather = examples_per_s * bpe
-    roofline_ok = ach_flops <= V5E_PEAK_BF16_FLOPS
+    roofline_ok = (ach_flops <= V5E_PEAK_BF16_FLOPS
+                   and ach_gather <= V5E_PEAK_HBM_BYTES)
     emb_mb = sum(cfg.feature_sizes) * cfg.embedding_size * 4 / 1e6
     print(f"roofline: model=criteo-full ({sum(cfg.feature_sizes):,} features, "
-          f"emb2 {emb_mb:.0f} MB > VMEM)\n"
-          f"  {fpe / 1e6:.3f} MFLOP/ex, {bpe:.0f} B/ex gather\n"
-          f"  on-chip {dt_chip * 1e3:.3f} ms/batch (scan-serialized, 500 fwds) "
-          f"vs pipelined wall {dt_wall * 1e3:.3f} ms/batch "
-          f"(ratio {dt_wall / dt_chip:.2f})\n"
-          f"  achieved {ach_flops / 1e12:.1f} TFLOP/s "
-          f"({100 * ach_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e bf16 peak"
-          f"{'' if roofline_ok else ' — IMPOSSIBLE, number invalid'}), "
+          f"emb2 {emb_mb:.0f} MB logical > VMEM)\n"
+          f"  {fpe / 1e6:.3f} MFLOP/ex, {bpe:.0f} B/ex padded gather\n"
+          f"  marginal {dt_chip * 1e3:.3f} ms/batch (headline) | "
+          f"scan-serialized {dt_scan * 1e3:.3f} ms/batch (overstates: scan-"
+          f"env gather penalty) | pipelined wall {dt_wall * 1e3:.3f} ms/batch "
+          f"(enqueue-bound on a tunnel, not trustworthy)\n"
+          f"  achieved {ach_flops / 1e12:.2f} TFLOP/s "
+          f"({100 * ach_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e bf16 peak), "
           f"gather {ach_gather / 1e9:.1f} GB/s "
-          f"({100 * ach_gather / V5E_PEAK_HBM_BYTES:.1f}% of v5e HBM peak)",
+          f"({100 * ach_gather / V5E_PEAK_HBM_BYTES:.1f}% of v5e HBM peak)"
+          f"{'' if roofline_ok else ' — EXCEEDS PEAK, number invalid'}",
           file=sys.stderr)
 
     print(json.dumps({
@@ -126,6 +173,7 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(examples_per_s / baseline, 2),
         "roofline_ok": roofline_ok,
+        "scan_serialized_examples_per_s": round(b / dt_scan, 1),
         "pipelined_wall_examples_per_s": round(b / dt_wall, 1),
     }))
 

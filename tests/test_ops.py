@@ -140,3 +140,36 @@ def test_dropout_train_scales(rng):
     np.testing.assert_allclose(np.asarray(out)[kept], 2.0, rtol=1e-6)
     # eval mode: identity
     np.testing.assert_array_equal(np.asarray(mlp_ops.dropout(None, x, 0.5, False)), 1.0)
+
+
+@pytest.mark.parametrize("qr", [False, True])
+def test_serving_lookup_matches_packed(batch, qr):
+    """packed_lookup_serving (out-of-scan serving form: static numeric rows +
+    one clipped gather) must be numerically identical to packed_lookup."""
+    xi, xv = batch
+    spec = emb_ops.make_spec(F_SIZES, NUM, qr_flag=qr, qr_collisions=4,
+                             qr_threshold=200)
+    tables = emb_ops.init_tables(jax.random.PRNGKey(2), spec, E)
+    a = np.asarray(emb_ops.packed_lookup(tables, spec, jnp.asarray(xi), jnp.asarray(xv)))
+    b = np.asarray(emb_ops.packed_lookup_serving(tables, spec, jnp.asarray(xi),
+                                                 jnp.asarray(xv)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_routed_gather_multiwindow_matches_single_take(rng):
+    """Force multiple route windows (shard_rows < field sizes) and check the
+    routed gather, including boundary-straddling fields, against one take."""
+    sizes = (1, 700, 513, 1024, 3, 5000)
+    offsets, off = [], 0
+    for n in sizes:
+        offsets.append(off)
+        off += n
+    table = jnp.asarray(rng.normal(size=(off, 4)).astype(np.float32))
+    raw = jnp.asarray(np.stack(
+        [rng.integers(0, n, size=64) for n in sizes], axis=1).astype(np.int32))
+    plan = emb_ops._field_route_plan(offsets, sizes, off, shard_rows=512)
+    assert len(plan) > 3  # genuinely multi-window
+    got = emb_ops._routed_gather(table, tuple(offsets), sizes, raw,
+                                 shard_rows=512)
+    want = jnp.take(table, jnp.asarray(offsets)[None, :] + raw, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

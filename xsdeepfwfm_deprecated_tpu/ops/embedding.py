@@ -141,8 +141,8 @@ def packed_lookup(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
                   xi: jax.Array, xv: jax.Array) -> jax.Array:
     """Fused lookup: → (B, F, E) field-embedding tensor, values pre-scaled.
 
-    One gather for the dense path (+ two small gathers for QR fields when
-    enabled), replacing the reference's per-field Python loops.
+    One routed gather for the dense path (+ two small gathers for QR fields
+    when enabled), replacing the reference's per-field Python loops.
     """
     raw, scale = build_indices(spec, xi, xv)
     dense_emb = _dense_gather(tables["dense"], spec, raw)
@@ -155,22 +155,145 @@ def packed_lookup(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
     return emb * scale[..., None]
 
 
+# XLA's TPU gather emitter switches to a slower per-row strategy once the
+# (static) operand exceeds ~512 KiB per lane column — i.e. rows × itemsize >
+# 2**19 (measured on v5e: the knee sits between 131072 and 262144 rows for
+# f32, between 262144 and beyond for bf16, ≥524288 rows still fast for int8).
+# Inside a ``lax.scan`` body (the training dispatch) the slow path costs
+# ~20 ns/row vs ~1.5 ns/row fast, so routing each field's indices to a
+# within-knee static slice of the packed table wins ~2-3×; a field whose rows
+# straddle a slice boundary is gathered from both slices and combined by
+# validity mask. OUTSIDE a scan the same emitter runs ~4× faster and the
+# per-gather-op overhead dominates instead — serving uses
+# ``packed_lookup_serving`` (one gather + static numeric rows) for that
+# regime. All thresholds re-measured in round 3 with D2H-forced timing.
+FAST_GATHER_BYTES = 2 ** 19
+
+
+def _fast_rows(dtype) -> int:
+    return max(FAST_GATHER_BYTES // jnp.dtype(dtype).itemsize, 1)
+
+
+def _field_route_plan(offsets, sizes, total_rows, shard_rows):
+    """Static routing plan: [(row_start, row_end, [(field, all_valid), ...])].
+
+    Slices are consecutive ``shard_rows`` windows of the packed table; field
+    ``f`` (rows ``[offsets[f], offsets[f]+sizes[f])``) is routed to every
+    window it intersects. ``all_valid`` marks fields wholly inside a window
+    (no mask needed).
+    """
+    plan = []
+    for start in range(0, total_rows, shard_rows):
+        end = min(start + shard_rows, total_rows)
+        fields = []
+        for f, (o, n) in enumerate(zip(offsets, sizes)):
+            if n <= 1:
+                continue  # single-row fields are sliced statically
+            if o < end and o + n > start:
+                fields.append((f, o >= start and o + n <= end))
+        if fields:
+            plan.append((start, end, fields))
+    return plan
+
+
+def _routed_gather(table: jax.Array, offsets, sizes, raw: jax.Array,
+                   shard_rows: int = 0) -> jax.Array:
+    """Gather ``out[:, f] = table[offsets[f] + raw[:, f]]`` via the fast-path
+    routing plan above. Single-row fields (numeric slots) never gather: their
+    row is a static slice broadcast over the batch. ``shard_rows`` overrides
+    the dtype-derived window size (tests).
+    """
+    B, F = raw.shape
+    E = table.shape[1]
+    per_field = [None] * F
+
+    for f, (o, n) in enumerate(zip(offsets, sizes)):
+        if n <= 1:
+            row = jax.lax.slice_in_dim(table, o, o + 1, axis=0)       # (1, E)
+            per_field[f] = jnp.broadcast_to(row, (B, E))
+
+    for start, end, fields in _field_route_plan(
+            offsets, sizes, table.shape[0],
+            shard_rows or _fast_rows(table.dtype)):
+        window = jax.lax.slice_in_dim(table, start, end, axis=0)
+        offs = jnp.asarray([offsets[f] - start for f, _ in fields],
+                           dtype=raw.dtype)[None, :]
+        cols = raw[:, [f for f, _ in fields]]
+        local = jnp.clip(cols + offs, 0, end - start - 1)
+        got = jnp.take(window, local, axis=0)                         # (B, k, E)
+        for j, (f, all_valid) in enumerate(fields):
+            piece = got[:, j]
+            if not all_valid:
+                g = offsets[f] + cols[:, j]
+                valid = (g >= start) & (g < end)
+                piece = jnp.where(valid[:, None], piece, 0)
+            per_field[f] = piece if per_field[f] is None else per_field[f] + piece
+
+    return jnp.stack(per_field, axis=1)                               # (B, F, E)
+
+
 def _dense_gather(table: jax.Array, spec: PackedEmbeddingSpec, raw: jax.Array) -> jax.Array:
-    offs = jnp.asarray(spec.dense_offsets, dtype=raw.dtype)[None, :]
-    idx = jnp.clip(offs + raw, 0, table.shape[0] - 1)
-    return jnp.take(table, idx, axis=0)
+    # QR fields have no rows here (dense_offsets 0, unused): give them a
+    # trivial single-row route; packed_lookup's where() discards the value.
+    sizes = tuple(1 if qr else n
+                  for n, qr in zip(spec.feature_sizes, spec.is_qr_field))
+    return _routed_gather(table, spec.dense_offsets, sizes, raw)
+
+
+def packed_lookup_serving(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
+                          xi: jax.Array, xv: jax.Array) -> jax.Array:
+    """Out-of-``lax.scan`` lookup for the serving path: → (B, F, E).
+
+    Numeric fields read their single row with a STATIC slice (no gather at
+    all — the reference gathers row 0 of a size-1 nn.Embedding per numeric
+    field, ``model/DeepFMs.py:302-304``); the categorical fields use ONE
+    clipped gather over the whole packed table. Outside a scan the gather
+    emitter's per-op overhead dominates (measured ~1.3 ms for this form vs
+    ~2.3 ms for the 11-window routed form at batch 8192×39 on v5e), which
+    inverts the routed-vs-naive tradeoff that holds inside the training scan.
+    Semantics identical to :func:`packed_lookup`.
+    """
+    num = spec.numerical
+    assert all(n == 1 for n in spec.feature_sizes[:num]), \
+        "numeric fields must be leading single-row slots"
+    dense = tables["dense"]
+    B = xi.shape[0]
+    parts = []
+    if num:
+        nrow = jax.lax.slice_in_dim(dense, 0, num, axis=0)        # (num, E)
+        parts.append(xv[..., None] * nrow[None])                  # (B, num, E)
+    cat_offs = jnp.asarray(spec.dense_offsets[num:], xi.dtype)[None, :]
+    idx = jnp.clip(xi + cat_offs, 0, dense.shape[0] - 1)
+    out_cat = jnp.take(dense, idx, axis=0)                        # (B, C, E)
+    if spec.has_qr:
+        c = spec.qr_collisions
+        q_offs = jnp.asarray(spec.q_offsets[num:], xi.dtype)[None, :]
+        r_offs = jnp.asarray(spec.r_offsets[num:], xi.dtype)[None, :]
+        q_emb = jnp.take(tables["q"],
+                         jnp.clip(q_offs + xi // c, 0, tables["q"].shape[0] - 1), axis=0)
+        r_emb = jnp.take(tables["r"],
+                         jnp.clip(r_offs + xi % c, 0, tables["r"].shape[0] - 1), axis=0)
+        if spec.qr_operation == "mult":
+            qr = q_emb * r_emb
+        elif spec.qr_operation == "add":
+            qr = q_emb + r_emb
+        else:
+            qr = jnp.concatenate([q_emb, r_emb], axis=-1)
+        mask = jnp.asarray(spec.is_qr_field[num:])[None, :, None]
+        out_cat = jnp.where(mask, qr, out_cat)
+    parts.append(out_cat)
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
 def _qr_gather(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
                raw: jax.Array) -> jax.Array:
     """Quotient/remainder split + combine (reference ``QREmbeddingBag:156-174``)."""
     c = spec.qr_collisions
-    q_offs = jnp.asarray(spec.q_offsets, dtype=raw.dtype)[None, :]
-    r_offs = jnp.asarray(spec.r_offsets, dtype=raw.dtype)[None, :]
-    q_idx = jnp.clip(q_offs + raw // c, 0, tables["q"].shape[0] - 1)
-    r_idx = jnp.clip(r_offs + raw % c, 0, tables["r"].shape[0] - 1)
-    q_emb = jnp.take(tables["q"], q_idx, axis=0)
-    r_emb = jnp.take(tables["r"], r_idx, axis=0)
+    q_sizes = tuple(-(-n // c) if qr else 1
+                    for n, qr in zip(spec.feature_sizes, spec.is_qr_field))
+    r_sizes = tuple(c if qr else 1 for qr in spec.is_qr_field)
+    q_emb = _routed_gather(tables["q"], spec.q_offsets, q_sizes, raw // c)
+    r_emb = _routed_gather(tables["r"], spec.r_offsets, r_sizes, raw % c)
     if spec.qr_operation == "mult":
         return q_emb * r_emb
     if spec.qr_operation == "add":

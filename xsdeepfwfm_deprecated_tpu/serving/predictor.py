@@ -43,7 +43,11 @@ class Predictor:
             assert cfg is not None, "fp32 params need an explicit ModelConfig"
             self.cfg = cfg
             self._model = jax.device_put(model)
-            self._fn = jax.jit(lambda p, xi, xv: deepfwfm.forward(p, xi, xv, cfg))
+            # out-of-scan serving dispatch → the single-gather serving lookup
+            # (see ops.embedding.packed_lookup_serving)
+            from ..ops.embedding import packed_lookup_serving
+            self._fn = jax.jit(lambda p, xi, xv: deepfwfm.forward(
+                p, xi, xv, cfg, lookup_fn=packed_lookup_serving))
 
     def logits(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
         return np.asarray(self._fn(self._model, jnp.asarray(xi, jnp.int32),

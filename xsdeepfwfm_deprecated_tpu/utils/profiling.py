@@ -57,13 +57,25 @@ def trace(trace_dir: Optional[str]):
 
 def simple_timeit(fn: Callable, *args, tries: int = 10, warmup: int = 1,
                   task: str = "") -> float:
-    """Mean wall-clock seconds per call, blocking on device completion."""
+    """Mean wall-clock seconds per call, blocking on device completion.
+
+    Completion is forced by fetching one element of the result
+    (``jax.device_get``), not ``block_until_ready`` — see ``scan_timeit`` for
+    the remote-platform failure mode this avoids. Wall-clock through a remote
+    tunnel includes the dispatch RTT; use ``scan_timeit`` for on-chip time.
+    """
+    def _force(out):
+        leaves = jax.tree.leaves(out)
+        if leaves:
+            leaf = leaves[0]
+            jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     times: List[float] = []
     for _ in range(tries):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         times.append(time.perf_counter() - t0)
     return sum(times) / len(times)
 
@@ -89,6 +101,14 @@ def scan_timeit(fn: Callable, model, xi, xv, *, iters: int = 100,
     ``reps`` dispatches divided by ``iters`` is the per-forward time. The
     number is a *throughput* per-batch time (the chip pipelines nothing
     across scan steps — each step consumes the previous carry).
+
+    Completion is forced with ``jax.device_get`` of the scalar carry, NOT
+    ``block_until_ready``: on the remote-attached ('axon') platform
+    ``block_until_ready`` can return before on-chip execution finishes (a
+    100-step scan "completed" in 0.26 ms while fetching its result took
+    961 ms — round 3 measurement), which is exactly the failure mode that
+    produced the impossible round-2 headline. A D2H fetch of the scalar
+    cannot complete before the value exists.
     """
     import jax.numpy as jnp
 
@@ -105,11 +125,11 @@ def scan_timeit(fn: Callable, model, xi, xv, *, iters: int = 100,
         return carry
 
     if warmup:
-        jax.block_until_ready(run(model, xi, xv, offs, foffs))
+        jax.device_get(run(model, xi, xv, offs, foffs))
     times: List[float] = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(model, xi, xv, offs, foffs))
+        jax.device_get(run(model, xi, xv, offs, foffs))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2] / iters
