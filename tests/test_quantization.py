@@ -208,7 +208,7 @@ def test_quantized_forward_fused_kernel_matches(trained_like_model):
     raw, scale = E.build_indices(spec, xi_b, xv_b)
     from xsdeepfwfm_deprecated_tpu.ops.quantized import gather_dequant
     offs = jnp.asarray(spec.dense_offsets)[None, :]
-    idx = jnp.clip(offs + raw, 0, qm.emb2_q["dense"]["q"].shape[0] - 1)
+    idx = jnp.clip(offs + raw, 0, qm.emb2_q["dense"]["qs"].shape[0] - 1)
     emb2 = gather_dequant(qm.emb2_q["dense"], idx) * scale[..., None]
     x = emb2.reshape(512, -1)
     layers_q, fc_q = pack_quantized_deep(qm.deep_q)

@@ -177,26 +177,37 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
     cfg = qm.cfg
     spec = deepfwfm.make_embedding_spec(cfg)
     b = xi.shape[0]
-    raw, scale = emb_ops.build_indices(spec, xi, xv)
-
     def lookup(tables_q, tables_fp, dim):
-        if tables_q is not None:
-            offs = jnp.asarray(spec.dense_offsets, dtype=raw.dtype)[None, :]
-            idx = jnp.clip(offs + raw, 0, tables_q["dense"]["q"].shape[0] - 1)
-            emb = q_ops.gather_dequant(tables_q["dense"], idx)
-            if spec.has_qr:
-                c = spec.qr_collisions
-                qi = jnp.clip(jnp.asarray(spec.q_offsets)[None, :] + raw // c,
-                              0, tables_q["q"]["q"].shape[0] - 1)
-                ri = jnp.clip(jnp.asarray(spec.r_offsets)[None, :] + raw % c,
-                              0, tables_q["r"]["q"].shape[0] - 1)
-                eq = q_ops.gather_dequant(tables_q["q"], qi)
-                er = q_ops.gather_dequant(tables_q["r"], ri)
-                qr = {"mult": eq * er, "add": eq + er}.get(
-                    spec.qr_operation, jnp.concatenate([eq, er], -1))
-                emb = jnp.where(jnp.asarray(spec.is_qr_field)[None, :, None], qr, emb)
-            return emb * scale[..., None]
-        return emb_ops.packed_lookup(tables_fp, spec, xi, xv)
+        if tables_q is None:
+            return emb_ops.packed_lookup_serving(tables_fp, spec, xi, xv)
+        # serving-form gather (see ops.embedding.packed_lookup_serving):
+        # numeric rows are STATIC slices, categorical fields ONE clipped
+        # gather — the int8 path gathers two arrays (values + per-row
+        # scales), so avoiding the 39-field raw gather matters double.
+        num = spec.numerical
+        assert all(n == 1 for n in spec.feature_sizes[:num])
+        dq = tables_q["dense"]
+        parts = []
+        if num:
+            rows, sc = q_ops.unpack_qs(jax.lax.slice_in_dim(dq["qs"], 0, num, axis=0))
+            parts.append((rows * sc)[None] * xv[..., None])
+        cat_offs = jnp.asarray(spec.dense_offsets[num:], xi.dtype)[None, :]
+        cidx = jnp.clip(xi + cat_offs, 0, dq["qs"].shape[0] - 1)
+        emb = q_ops.gather_dequant(dq, cidx)
+        if spec.has_qr:
+            c = spec.qr_collisions
+            qi = jnp.clip(jnp.asarray(spec.q_offsets[num:])[None, :] + xi // c,
+                          0, tables_q["q"]["qs"].shape[0] - 1)
+            ri = jnp.clip(jnp.asarray(spec.r_offsets[num:])[None, :] + xi % c,
+                          0, tables_q["r"]["qs"].shape[0] - 1)
+            eq = q_ops.gather_dequant(tables_q["q"], qi)
+            er = q_ops.gather_dequant(tables_q["r"], ri)
+            qr = {"mult": eq * er, "add": eq + er}.get(
+                spec.qr_operation, jnp.concatenate([eq, er], -1))
+            emb = jnp.where(jnp.asarray(spec.is_qr_field[num:])[None, :, None],
+                            qr, emb)
+        parts.append(emb)
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     first_order = None
     second_order = None

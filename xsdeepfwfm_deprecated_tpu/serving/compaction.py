@@ -190,9 +190,9 @@ def _lookup(tables: Dict, spec, raw: jax.Array, scale: jax.Array,
         if int8:
             c = spec.qr_collisions
             qi = jnp.clip(jnp.asarray(spec.q_offsets)[None, :] + raw // c,
-                          0, tables["q_q"]["q"].shape[0] - 1)
+                          0, tables["q_q"]["qs"].shape[0] - 1)
             ri = jnp.clip(jnp.asarray(spec.r_offsets)[None, :] + raw % c,
-                          0, tables["r_q"]["q"].shape[0] - 1)
+                          0, tables["r_q"]["qs"].shape[0] - 1)
             eq = q_ops.gather_dequant(tables["q_q"], qi)
             er = q_ops.gather_dequant(tables["r_q"], ri)
             qr = {"mult": eq * er, "add": eq + er}.get(
@@ -265,7 +265,7 @@ def compaction_report(params: Dict, cm: CompactModel, cfg: ModelConfig) -> Dict:
     if "emb2" in params and cm.emb2 is not None:
         dense = np.asarray(params["emb2"]["dense"])
         key = "dense_q" if cm.int8 else "dense"
-        kept = (cm.emb2[key]["q"].shape[0] if cm.int8
+        kept = (cm.emb2[key]["qs"].shape[0] if cm.int8
                 else cm.emb2[key].shape[0]) - 1
         out["emb2_rows"] = dense.shape[0]
         out["emb2_rows_kept"] = kept
