@@ -62,7 +62,7 @@ def main():
         compact_for_serving, compaction_report)
     from xsdeepfwfm_deprecated_tpu.serving.predictor import Predictor
     from xsdeepfwfm_deprecated_tpu.train import checkpoint as ckpt
-    from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit, scan_timeit
 
     cfg = (_flagship(feature_scale=64, deep_nodes=64, embedding_size=8)
            if args.smoke else _flagship(full_criteo=True))
@@ -93,7 +93,9 @@ def main():
 
     cm_unstr = compact_for_serving(p_unstr, cfg)
     cm_struct = compact_for_serving(p_struct, cfg)
+    cm_tower = compact_for_serving(p_struct, cfg, compact_rows=False)
     cm_struct8 = compact_for_serving(p_struct, cfg, int8=True)
+    cm_tower8 = compact_for_serving(p_struct, cfg, int8=True, compact_rows=False)
     qm = convert(params, cfg, mode="dynamic")
 
     print("compaction (unstructured):",
@@ -110,21 +112,33 @@ def main():
         ("fp32-dense", Predictor(params, cfg)),
         ("unstructured-compact", Predictor(cm_unstr)),
         ("structured-compact", Predictor(cm_struct)),
+        ("structured-tower-only", Predictor(cm_tower)),
         ("int8", Predictor(qm)),
         ("int8-structured-compact", Predictor(cm_struct8)),
+        ("int8-structured-tower-only", Predictor(cm_tower8)),
     ]
 
     rows = []
+    K2 = 4 if args.smoke else 16
     for bstr in args.batches.split(","):
         b = int(bstr)
         b = min(b, 256) if args.smoke else b
-        xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
-                          size=(b, 26)).astype(np.int32)
-        xv = rng.normal(size=(b, 13)).astype(np.float32)
-        xi_d, xv_d = jax.device_put(xi), jax.device_put(xv)
+        inputs = []
+        for _ in range(K2):
+            xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
+                              size=(b, 26)).astype(np.int32)
+            xv = rng.normal(size=(b, 13)).astype(np.float32)
+            inputs.append((jax.device_put(xi), jax.device_put(xv)))
         for name, pred in arms:
-            t = scan_timeit(pred._fn, pred._model, xi_d, xv_d,
-                            iters=args.iters, reps=3)
+            if b == 1:
+                # single-request LATENCY is inherently serialized: the
+                # scan-chained protocol is the right semantics (and the
+                # marginal slope of a ~30 µs op drowns in RTT jitter)
+                t = scan_timeit(pred._fn, pred._model, *inputs[0],
+                                iters=200, reps=3)
+            else:
+                t = marginal_timeit(pred._fn, pred._model, inputs, k2=K2,
+                                    reps=3 if args.smoke else 7)
             rows.append({"arm": name, "batch": b, "us_per_batch": t * 1e6,
                          "examples_per_s": b / t})
             print(f"  b={b:5d} {name:24s} {t * 1e6:10.1f} µs/batch "

@@ -12,8 +12,8 @@ Parity surface of the reference's ``run_benchmark`` (``model/DeepFMs.py:947-1009
 
 Extends it TPU-natively with examples/s/chip. The fp32 vs int8 vs
 compacted-pruned serving side-by-side lives in
-``scripts/pruned_serving_bench.py`` (on-chip scan timing over the arms built
-from :mod:`.compaction` and :mod:`..compression.quantization`).
+``scripts/pruned_serving_bench.py`` (round-3 marginal on-chip timing over the
+arms built from :mod:`.compaction` and :mod:`..compression.quantization`).
 """
 
 from __future__ import annotations
@@ -78,7 +78,21 @@ def op_summary(predictor: Predictor, bxi: np.ndarray, bxv: np.ndarray,
     except Exception:   # pragma: no cover - backend without cost analysis
         pass
 
-    # --- per-component wall clock (named-span analogue) ---------------------
+    # --- per-component ON-CHIP marginal time (named-span analogue) ----------
+    # round-3 protocol: marginal cost of one extra evaluation in a dispatch —
+    # wall-clock per call through a remote tunnel is pure RTT for µs-scale
+    # components. Replica inputs are rolled to defeat CSE.
+    from ..utils.profiling import marginal_timeit
+
+    import jax.numpy as jnp
+
+    def _marg(fn, variants):
+        return marginal_timeit(lambda m, *a: fn(m, *a), predictor._model,
+                               variants, k2=len(variants), reps=5)
+
+    def _rolled(arr, k=8):
+        return [jnp.roll(arr, i, axis=0) for i in range(k)]
+
     rows: List[Tuple[str, float]] = []
     model = predictor._model
     if isinstance(model, dict):   # fp32 params: component sub-functions exist
@@ -93,30 +107,30 @@ def op_summary(predictor: Predictor, bxi: np.ndarray, bxv: np.ndarray,
         zero_rates = (0.0,) * (cfg.h_depth + 1)
 
         if "emb2" in model:
-            f_lookup = jax.jit(lambda p, xi, xv: emb_ops.packed_lookup(
-                p["emb2"], spec, xi, xv))
+            f_lookup = lambda p, xi, xv: emb_ops.packed_lookup_serving(
+                p["emb2"], spec, xi, xv)
             rows.append(("Embedding lookup (packed gather)",
-                         simple_timeit(f_lookup, model, xi_d, xv_d, tries=10)))
-            emb2_d = jax.device_put(np.asarray(f_lookup(model, xi_d, xv_d)))
+                         _marg(f_lookup, [(x, xv_d) for x in _rolled(xi_d)])))
+            emb2_d = jax.device_put(np.asarray(jax.jit(f_lookup)(model, xi_d, xv_d)))
             if cfg.use_fwfm and "field_cov" in model:
-                f_int = jax.jit(lambda p, e: inter_ops.fwfm_second_order(
-                    e, p["field_cov"]))
                 rows.append(("FwFM interaction (R-weighted pairs)",
-                             simple_timeit(f_int, model, emb2_d, tries=10)))
+                             _marg(lambda p, e: inter_ops.fwfm_second_order(
+                                 e, p["field_cov"]),
+                                 [(e,) for e in _rolled(emb2_d)])))
             elif cfg.use_fm:
-                f_int = jax.jit(lambda e: inter_ops.fm_second_order(e))
                 rows.append(("FM interaction (sum-of-squares)",
-                             simple_timeit(f_int, emb2_d, tries=10)))
+                             _marg(lambda p, e: inter_ops.fm_second_order(e),
+                                   [(e,) for e in _rolled(emb2_d)])))
             if cfg.use_deep and "deep" in model:
-                deep_in_d = jax.device_put(
-                    np.asarray(emb2_d).reshape(b, -1))
-                f_deep = jax.jit(lambda p, x: mlp_ops.mlp_forward(
-                    p["deep"]["net_1"], x, dropout_rates=zero_rates, train=False))
+                deep_in_d = jax.device_put(np.asarray(emb2_d).reshape(b, -1))
                 rows.append(("Deep tower (MLP)",
-                             simple_timeit(f_deep, model, deep_in_d, tries=10)))
+                             _marg(lambda p, x: mlp_ops.mlp_forward(
+                                 p["deep"]["net_1"], x, dropout_rates=zero_rates,
+                                 train=False),
+                                 [(x,) for x in _rolled(deep_in_d)])))
 
     rows.append(("Full forward",
-                 simple_timeit(lambda: predictor._fn(model, xi_d, xv_d), tries=10)))
+                 _marg(predictor._fn, [(x, xv_d) for x in _rolled(xi_d)])))
 
     # --- render, reference-table style (sorted by self time desc) ----------
     log("\tOp-level summary (batch {}):".format(bxi.shape[0]))
@@ -187,17 +201,23 @@ def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
 
     # 3. batched forward timing (reference :982-997). Two numbers: wall clock
     # with a sync per call (includes host↔device round trips — the honest
-    # "what a caller sees" figure) and ON-CHIP time from a scan-serialized
-    # dispatch (what the chip spends; immune to remote-attachment RTT).
+    # "what a caller sees" figure) and ON-CHIP time — the MARGINAL cost of an
+    # extra forward in one dispatch (round-3 protocol: RTT cancels,
+    # device_get forces completion, matches steady-state streaming; a
+    # scan-serialized chain overstates gather-heavy serving 3-4×).
     # Arrays are device-put once outside the timed lambda — the reference's
     # time_forward_pass also times only the forward, after tensor
     # construction (:1012-1028).
-    from ..utils.profiling import scan_timeit
-    bxi_d = jax.device_put(jax.numpy.asarray(bxi))
-    bxv_d = jax.device_put(jax.numpy.asarray(bxv))
+    from ..utils.profiling import marginal_timeit
+    k2 = 8
+    binputs = []
+    for i in range(k2):
+        sl = np.arange(i, i + batch_size) % n
+        binputs.append((jax.device_put(jax.numpy.asarray(Xi[sl] if n >= batch_size else bxi)),
+                        jax.device_put(jax.numpy.asarray(Xv[sl] if n >= batch_size else bxv))))
+    bxi_d, bxv_d = binputs[0]
     t_batch = simple_timeit(lambda: predictor._fn(predictor._model, bxi_d, bxv_d), tries=20)
-    t_chip = scan_timeit(predictor._fn, predictor._model, bxi_d, bxv_d,
-                         iters=50, reps=3)
+    t_chip = marginal_timeit(predictor._fn, predictor._model, binputs, k2=k2, reps=5)
     results["batch_ms"] = t_batch * 1e3
     results["batch_onchip_ms"] = t_chip * 1e3
     results["examples_per_s"] = batch_size / t_chip
@@ -208,12 +228,12 @@ def run_benchmark(predictor: Predictor, Xi, Xv, y, *, batch_size: int = 8192,
     log("\tThroughput (examples/s/chip):\t{:.0f}".format(results["examples_per_s_per_chip"]))
 
     # 4. single-example latency (reference :999-1009) — wall + on-chip
-    xi1 = jax.numpy.asarray(Xi[:1])
-    xv1 = jax.numpy.asarray(Xv[:1])
+    sinputs = [(jax.numpy.asarray(Xi[i % n:i % n + 1]),
+                jax.numpy.asarray(Xv[i % n:i % n + 1])) for i in range(16)]
+    xi1, xv1 = sinputs[0]
     t_single = simple_timeit(lambda: predictor._fn(predictor._model, xi1, xv1),
                              tries=min(n_single, 1000), warmup=3)
-    t1_chip = scan_timeit(predictor._fn, predictor._model, xi1, xv1,
-                          iters=min(n_single, 1000), reps=3)
+    t1_chip = marginal_timeit(predictor._fn, predictor._model, sinputs, k2=16, reps=5)
     results["single_example_ms"] = t_single * 1e3
     results["single_example_onchip_ms"] = t1_chip * 1e3
     log("\tAvg forward pass time (ms):\t{:.3f} wall / {:.3f} on-chip".format(

@@ -81,19 +81,29 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _compact_tables(tables: Dict, int8: bool) -> Dict:
+def _compact_tables(tables: Dict, int8: bool, compact_rows: bool = True) -> Dict:
     """Drop all-zero rows of the packed dense table behind an int32 remap.
 
     Compact row 0 is an explicit zero row every pruned original row maps to,
     so the two-step gather reproduces the original lookup exactly. QR q/r
-    tables are small and kept whole (int8-quantized when asked)."""
+    tables are small and kept whole (int8-quantized when asked).
+
+    ``compact_rows=False`` keeps the table full-size with NO remap (the
+    lookup stays a single gather): on a TPU the remap indirection costs a
+    second full-price gather per lookup (~2× lookup latency, measured round
+    3), so row compaction is a CAPACITY tool — take it when HBM footprint
+    binds, skip it when latency does."""
     dense = np.asarray(tables["dense"])
-    alive = np.any(dense != 0, axis=1)
-    remap = np.zeros(dense.shape[0], np.int32)
-    remap[alive] = 1 + np.arange(int(alive.sum()), dtype=np.int32)
-    compact = np.concatenate(
-        [np.zeros((1, dense.shape[1]), dense.dtype), dense[alive]], axis=0)
-    out = {"remap": jnp.asarray(remap)}
+    if compact_rows:
+        alive = np.any(dense != 0, axis=1)
+        remap = np.zeros(dense.shape[0], np.int32)
+        remap[alive] = 1 + np.arange(int(alive.sum()), dtype=np.int32)
+        compact = np.concatenate(
+            [np.zeros((1, dense.shape[1]), dense.dtype), dense[alive]], axis=0)
+        out = {"remap": jnp.asarray(remap)}
+    else:
+        compact = dense
+        out = {}
     if int8:
         out["dense_q"] = q_ops.quantize_embedding_rows(jnp.asarray(compact))
     else:
@@ -142,8 +152,13 @@ def _compact_tower(net: Dict) -> Tuple[List[Dict], jax.Array, jax.Array, np.ndar
 
 
 def compact_for_serving(params: Dict, cfg: ModelConfig,
-                        int8: bool = False) -> CompactModel:
-    """Pruned fp32 params → :class:`CompactModel` (optionally int8)."""
+                        int8: bool = False,
+                        compact_rows: bool = True) -> CompactModel:
+    """Pruned fp32 params → :class:`CompactModel` (optionally int8).
+
+    ``compact_rows=False`` keeps embedding tables full-size (no remap
+    indirection): the tower still compacts, the lookup stays one gather —
+    the latency-optimal form of structured-pruned serving on TPU."""
     if cfg.use_ffm:
         raise NotImplementedError(
             "compaction covers the DeepLight families (LR/FM/FwFM/DeepFwFM); "
@@ -151,8 +166,8 @@ def compact_for_serving(params: Dict, cfg: ModelConfig,
             "where compaction matters (see models/deepfwfm.py ffm note)")
     params_fp = {k: v for k, v in params.items()
                  if k in ("bias", "lw_w", "fwlw_w", "field_cov")}
-    emb1 = _compact_tables(params["emb1"], int8) if "emb1" in params else None
-    emb2 = _compact_tables(params["emb2"], int8) if "emb2" in params else None
+    emb1 = _compact_tables(params["emb1"], int8, compact_rows) if "emb1" in params else None
+    emb2 = _compact_tables(params["emb2"], int8, compact_rows) if "emb2" in params else None
 
     deep = None
     keep_in0: Tuple[int, ...] = ()
@@ -176,31 +191,60 @@ def compact_for_serving(params: Dict, cfg: ModelConfig,
                         params_fp=params_fp, emb1=emb1, emb2=emb2, deep=deep)
 
 
-def _lookup(tables: Dict, spec, raw: jax.Array, scale: jax.Array,
+def _lookup(tables: Dict, spec, xi: jax.Array, xv: jax.Array,
             int8: bool) -> jax.Array:
-    """remap-gather → row-gather (→ dequant) → QR merge → value scale."""
-    offs = jnp.asarray(spec.dense_offsets, dtype=raw.dtype)[None, :]
-    remap = tables["remap"]
-    gidx = jnp.take(remap, jnp.clip(offs + raw, 0, remap.shape[0] - 1), axis=0)
+    """Serving-form compacted lookup: static numeric rows (remapped at trace
+    time, a 13-row constant gather), then ONE cat-field remap-gather → ONE
+    row-gather (→ dequant) → QR merge. The remap indirection is the price of
+    dropping all-zero rows from HBM; keeping it off the 13 numeric fields and
+    the per-row scales inline keeps it to exactly 2 full-price gathers."""
+    num = spec.numerical
+    assert all(n == 1 for n in spec.feature_sizes[:num])
+    remap = tables.get("remap")   # None = rows kept full-size, direct gather
+    n_rows = (tables["dense_q"]["qs"] if int8 else tables["dense"]).shape[0]
+    parts = []
+    if num:
+        nidx = jnp.asarray(spec.dense_offsets[:num], jnp.int32)
+        if remap is not None:
+            nidx = jnp.take(remap, nidx, axis=0)
+        if int8:
+            nv, ns = q_ops.unpack_qs(jnp.take(tables["dense_q"]["qs"], nidx, axis=0))
+            nrow = nv * ns
+        else:
+            nrow = jnp.take(tables["dense"], nidx, axis=0)
+        parts.append(xv[..., None] * nrow[None])
+    cat_offs = jnp.asarray(spec.dense_offsets[num:], xi.dtype)[None, :]
+    if remap is not None:
+        gidx = jnp.take(remap, jnp.clip(xi + cat_offs, 0, remap.shape[0] - 1),
+                        axis=0)
+    else:
+        gidx = jnp.clip(xi + cat_offs, 0, n_rows - 1)
     if int8:
         emb = q_ops.gather_dequant(tables["dense_q"], gidx)
     else:
         emb = jnp.take(tables["dense"], gidx, axis=0)
     if spec.has_qr:
+        c = spec.qr_collisions
         if int8:
-            c = spec.qr_collisions
-            qi = jnp.clip(jnp.asarray(spec.q_offsets)[None, :] + raw // c,
+            qi = jnp.clip(jnp.asarray(spec.q_offsets[num:])[None, :] + xi // c,
                           0, tables["q_q"]["qs"].shape[0] - 1)
-            ri = jnp.clip(jnp.asarray(spec.r_offsets)[None, :] + raw % c,
+            ri = jnp.clip(jnp.asarray(spec.r_offsets[num:])[None, :] + xi % c,
                           0, tables["r_q"]["qs"].shape[0] - 1)
             eq = q_ops.gather_dequant(tables["q_q"], qi)
             er = q_ops.gather_dequant(tables["r_q"], ri)
-            qr = {"mult": eq * er, "add": eq + er}.get(
-                spec.qr_operation, jnp.concatenate([eq, er], -1))
         else:
-            qr = emb_ops._qr_gather(tables, spec, raw)
-        emb = jnp.where(jnp.asarray(spec.is_qr_field)[None, :, None], qr, emb)
-    return emb * scale[..., None]
+            qi = jnp.clip(jnp.asarray(spec.q_offsets[num:])[None, :] + xi // c,
+                          0, tables["q"].shape[0] - 1)
+            ri = jnp.clip(jnp.asarray(spec.r_offsets[num:])[None, :] + xi % c,
+                          0, tables["r"].shape[0] - 1)
+            eq = jnp.take(tables["q"], qi, axis=0)
+            er = jnp.take(tables["r"], ri, axis=0)
+        qr = {"mult": eq * er, "add": eq + er}.get(
+            spec.qr_operation, jnp.concatenate([eq, er], -1))
+        emb = jnp.where(jnp.asarray(spec.is_qr_field[num:])[None, :, None],
+                        qr, emb)
+    parts.append(emb)
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
 def compact_forward(cm: CompactModel, xi: jax.Array, xv: jax.Array) -> jax.Array:
@@ -208,7 +252,6 @@ def compact_forward(cm: CompactModel, xi: jax.Array, xv: jax.Array) -> jax.Array
     :func:`..models.deepfwfm.forward` on the pruned params."""
     cfg = cm.cfg
     spec = deepfwfm.make_embedding_spec(cfg)
-    raw, scale = emb_ops.build_indices(spec, xi, xv)
     b = xi.shape[0]
 
     first_order = None
@@ -216,9 +259,9 @@ def compact_forward(cm: CompactModel, xi: jax.Array, xv: jax.Array) -> jax.Array
     emb2 = None
     if cfg.use_logit or cfg.use_fm or cfg.use_fwfm:
         if not cfg.use_fwlw:
-            first_order = _lookup(cm.emb1, spec, raw, scale, cm.int8)[..., 0]
+            first_order = _lookup(cm.emb1, spec, xi, xv, cm.int8)[..., 0]
         if cfg.use_fm or cfg.use_fwfm:
-            emb2 = _lookup(cm.emb2, spec, raw, scale, cm.int8)
+            emb2 = _lookup(cm.emb2, spec, xi, xv, cm.int8)
             if cfg.use_fwlw:
                 first_order = inter_ops.fwfm_linear_term(emb2, cm.params_fp["fwlw_w"])
             second_order = (inter_ops.fm_second_order(emb2) if cfg.use_fm
@@ -227,7 +270,7 @@ def compact_forward(cm: CompactModel, xi: jax.Array, xv: jax.Array) -> jax.Array
     x_deep = None
     if cfg.use_deep:
         if emb2 is None:
-            emb2 = _lookup(cm.emb2, spec, raw, scale, cm.int8)
+            emb2 = _lookup(cm.emb2, spec, xi, xv, cm.int8)
         x = emb2.reshape(b, -1)
         if len(cm.keep_in0) < x.shape[1]:
             x = jnp.take(x, jnp.asarray(cm.keep_in0, jnp.int32), axis=1)
@@ -266,7 +309,7 @@ def compaction_report(params: Dict, cm: CompactModel, cfg: ModelConfig) -> Dict:
         dense = np.asarray(params["emb2"]["dense"])
         key = "dense_q" if cm.int8 else "dense"
         kept = (cm.emb2[key]["qs"].shape[0] if cm.int8
-                else cm.emb2[key].shape[0]) - 1
+                else cm.emb2[key].shape[0]) - ("remap" in cm.emb2)
         out["emb2_rows"] = dense.shape[0]
         out["emb2_rows_kept"] = kept
         out["emb2_zero_row_pct"] = 100.0 * (1 - kept / max(dense.shape[0], 1))

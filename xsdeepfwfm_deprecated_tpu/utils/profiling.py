@@ -80,6 +80,45 @@ def simple_timeit(fn: Callable, *args, tries: int = 10, warmup: int = 1,
     return sum(times) / len(times)
 
 
+def marginal_timeit(fn: Callable, model, inputs, *, k1: int = 1, k2: int = 16,
+                    reps: int = 7) -> float:
+    """ON-CHIP seconds per forward, straight-line regime: the MARGINAL cost
+    of one extra forward in a single dispatch.
+
+    ``inputs`` is a list of ≥ ``k2`` DISTINCT ``(xi, xv)`` tuples (distinct
+    inputs defeat CSE; the summed scalar output defeats DCE; the dispatch RTT
+    cancels in the subtraction; ``jax.device_get`` forces completion). This
+    matches steady-state streaming serving — use it for serving numbers;
+    ``scan_timeit`` serializes through a carry and is the honest shape for
+    the (lax.scan-based) TRAINING dispatch, but TPU gathers run ~3-4× slower
+    inside a scan body, so it overstates out-of-scan serving cost.
+    """
+    import jax.numpy as jnp
+
+    def mk(k):
+        @jax.jit
+        def run(model, args_list):
+            tot = jnp.float32(0.0)
+            for a in args_list:
+                tot = tot + jnp.sum(fn(model, *a).astype(jnp.float32))
+            return tot
+        return run
+
+    r1, r2 = mk(k1), mk(k2)
+    jax.device_get(r1(model, inputs[:k1]))
+    jax.device_get(r2(model, inputs[:k2]))
+    t1s: List[float] = []
+    t2s: List[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(r1(model, inputs[:k1]))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(r2(model, inputs[:k2]))
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (k2 - k1)
+
+
 def scan_timeit(fn: Callable, model, xi, xv, *, iters: int = 100,
                 reps: int = 3, warmup: bool = True) -> float:
     """ON-CHIP seconds per forward: chain ``iters`` forwards in ONE dispatch.
