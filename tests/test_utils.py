@@ -94,3 +94,23 @@ def test_scan_timeit_scales_with_iters():
     t2 = scan_timeit(fwd, model, xi, xv, iters=16, reps=3)
     assert t1 > 0 and t2 > 0
     assert t2 < 3.0 * t1, (t1, t2)   # per-forward time stays in the same ballpark
+
+
+def test_marginal_timeit_positive_and_scales():
+    """marginal_timeit returns the per-op slope: a positive, finite time that
+    roughly tracks the op's cost (loose CPU bounds)."""
+    import jax
+    import jax.numpy as jnp
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit
+
+    model = jnp.ones((64, 64))
+
+    def fwd(m, x):
+        return jnp.sum(m @ x)
+
+    inputs = [(jnp.full((64, 64), float(i + 1)),) for i in range(8)]
+    t = marginal_timeit(fwd, model, inputs, k2=8, reps=3)
+    assert jnp.isfinite(t)
+    # slope of a ~µs op can jitter below zero only if timing is broken by
+    # more than the op cost; require sane magnitude
+    assert -1e-3 < t < 1.0

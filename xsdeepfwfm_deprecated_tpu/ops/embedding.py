@@ -235,8 +235,9 @@ def _routed_gather(table: jax.Array, offsets, sizes, raw: jax.Array,
 
 # Below this many gathered rows (static: batch × multi-row fields) the
 # single-gather forward beats the routed one inside a scan body (measured
-# crossover between B=2048 and B=8192 at 26 categorical fields on v5e).
-ROUTED_FWD_MIN_ROWS = 300_000
+# on v5e at 26 categorical fields: naive wins at B=4096 / 106K rows, routed
+# wins at B=8192 / 213K rows — e.g. the scanned eval dispatch).
+ROUTED_FWD_MIN_ROWS = 200_000
 
 
 def _leading_single(sizes) -> int:
