@@ -346,6 +346,53 @@ def _field_gather_bwd(offsets, sizes, res, g):
 _field_gather.defvjp(_field_gather_fwd, _field_gather_bwd)
 
 
+@jax.custom_vjp
+def fast_take_rows(table, idx):
+    """``table[clip(idx)]`` for ARBITRARY (unrouted) indices with the same
+    fast-path treatment as the field-routed gather: the forward sums
+    validity-masked takes over ≤fast-path-sized static windows when the
+    operand exceeds the emitter's knee, and the backward is the windowed
+    scatter-add. Used by the shard_map local lookups
+    (:mod:`...parallel.embedding_sharding`), whose per-chip table shards
+    (e.g. 1.33M/8 ≈ 166K rows at full-Criteo) sit past the knee but whose
+    shard-relative indices have no static per-field structure to route by.
+    """
+    return _fast_take_impl(table, idx)
+
+
+def _fast_take_impl(table, idx):
+    n, W = table.shape[0], _fast_rows(table.dtype)
+    cidx = jnp.clip(idx, 0, n - 1)
+    if n <= W:
+        return jnp.take(table, cidx, axis=0)
+    out = None
+    for s in range(0, n, W):
+        e = min(s + W, n)
+        window = jax.lax.slice_in_dim(table, s, e, axis=0)
+        local = jnp.clip(cidx - s, 0, e - s - 1)
+        got = jnp.take(window, local, axis=0)
+        valid = (cidx >= s) & (cidx < e)
+        got = jnp.where(valid[..., None], got, 0)
+        out = got if out is None else out + got
+    return out
+
+
+def _fast_take_fwd(table, idx):
+    return _fast_take_impl(table, idx), (
+        table.shape[0], jax.lax.slice_in_dim(table, 0, 0, axis=0), idx)
+
+
+def _fast_take_bwd(res, g):
+    n_rows, proto, idx = res
+    flat_idx = jnp.clip(idx, 0, n_rows - 1).reshape(-1)
+    upd = g.reshape(-1, g.shape[-1]).astype(proto.dtype)
+    return _windowed_scatter_add(n_rows, flat_idx, upd), \
+        np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+fast_take_rows.defvjp(_fast_take_fwd, _fast_take_bwd)
+
+
 def _dense_gather(table: jax.Array, spec: PackedEmbeddingSpec, raw: jax.Array) -> jax.Array:
     # QR fields have no rows here (dense_offsets 0, unused): give them a
     # trivial single-row route; packed_lookup's where() discards the value

@@ -50,6 +50,10 @@ def sharded_lookup_local(table_local: jax.Array, gidx: jax.Array,
     shard = jax.lax.axis_index(axis_name)
     local = gidx - shard * rows_local
     valid = (local >= 0) & (local < rows_local)
+    # plain take here, NOT fast_take_rows: the custom-vjp gather makes
+    # shard_map lose the vma info that lets it transpose this psum to the
+    # IDENTITY, doubling the exchange's collective volume (asserted in
+    # test_compiled_collective_bytes) — a worse trade than the gather knee.
     got = jnp.take(table_local, jnp.clip(local, 0, rows_local - 1), axis=0)
     partial_rows = jnp.where(valid[..., None], got, jnp.zeros_like(got))
     return jax.lax.psum(partial_rows, axis_name)
@@ -117,7 +121,11 @@ def a2a_lookup_local(table_local: jax.Array, gidx_local: jax.Array,
     all_idx = jax.lax.all_gather(gidx_local, axis_name)            # (M, b, F)
     local = all_idx - my * rows_local
     valid = (local >= 0) & (local < rows_local)
-    got = jnp.take(table_local, jnp.clip(local, 0, rows_local - 1), axis=0)
+    # fast_take_rows: windowed fast-path gather + windowed-scatter backward
+    # (a full-Criteo shard exceeds the gather emitter's knee); needs
+    # check_vma=False on the enclosing shard_map (custom_vjp hides vma), the
+    # backward collective here is the all-to-all either way.
+    got = emb_ops.fast_take_rows(table_local, local)
     part = jnp.where(valid[..., None], got, jnp.zeros_like(got))   # (M, b, F, E)
     recv = jax.lax.all_to_all(part, axis_name, split_axis=0, concat_axis=0)
     return jnp.sum(recv, axis=0)                                   # (b, F, E)
@@ -142,6 +150,7 @@ def make_a2a_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
             out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+            check_vma=False,
         )
         dense_emb = exchange(tables["dense"], gidx)
         if spec_.has_qr:
@@ -227,6 +236,7 @@ def make_grid_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
             mesh=mesh,
             in_specs=(P(GRID_AXES, None), P(GRID_AXES, None)),
             out_specs=P(GRID_AXES, None, None),
+            check_vma=False,
         )
         dense_emb = exchange(tables["dense"], gidx)
         if spec_.has_qr:
