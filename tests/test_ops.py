@@ -173,3 +173,25 @@ def test_routed_gather_multiwindow_matches_single_take(rng):
                                  shard_rows=512)
     want = jnp.take(table, jnp.asarray(offsets)[None, :] + raw, axis=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_fast_take_rows_matches_take_and_grads(rng):
+    """fast_take_rows (value-windowed custom-vjp gather for shard-local
+    lookups) must equal clipped take in value and gradient, incl. multi-window
+    operands and out-of-range indices."""
+    orig = emb_ops.FAST_GATHER_BYTES
+    try:
+        emb_ops.FAST_GATHER_BYTES = 2048   # 512-row f32 windows
+        table = jnp.asarray(rng.normal(size=(1700, 6)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(-5, 1710, size=(37, 4)).astype(np.int32))
+        got = emb_ops.fast_take_rows(table, idx)
+        want = jnp.take(table, jnp.clip(idx, 0, 1699), axis=0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        w = jnp.asarray(rng.normal(size=(37, 4, 6)).astype(np.float32))
+        g1 = jax.grad(lambda t: jnp.sum(emb_ops.fast_take_rows(t, idx) * w) ** 2)(table)
+        g2 = jax.grad(lambda t: jnp.sum(
+            jnp.take(t, jnp.clip(idx, 0, 1699), axis=0) * w) ** 2)(table)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                                   atol=1e-5)
+    finally:
+        emb_ops.FAST_GATHER_BYTES = orig
