@@ -3,13 +3,16 @@
 Companion to ``bench.py`` (the driver's serving headline): measures the FULL
 training step (forward + backward + Adam + L2) on the flagship Criteo-shaped
 DeepFwFM at batch 2048 (the reference's training batch,
-``utils/parameters.py:30``).
+``utils/parameters.py:30``), as a K-step ``make_multi_step`` scan dispatch —
+the exact shape the trainer's fit loop launches — with completion forced by
+``jax.device_get`` of the summed per-step losses (round-3 protocol; the old
+per-call ``simple_timeit`` wall included one tunnel RTT per step).
 
 Baseline context: the reference trains single-device with per-batch H2D copies
 (``model/DeepFMs.py:619-623``); no reference train-throughput number is
 published, so this reports absolute examples/s/chip.
 
-Usage::  python benchmarks/train_bench.py [--batch 2048]
+Usage::  python benchmarks/train_bench.py [--batch 2048] [--k 16]
 """
 
 from __future__ import annotations
@@ -26,45 +29,51 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=16, help="steps per dispatch")
+    ap.add_argument("--full-criteo", action="store_true",
+                    help="paper-scale 1.33M-feature tables")
     args = ap.parse_args()
+
+    import time
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from __graft_entry__ import _flagship
     from xsdeepfwfm_deprecated_tpu.config import TrainConfig
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
-    from xsdeepfwfm_deprecated_tpu.train.trainer import make_optimizer, make_train_step
-    from xsdeepfwfm_deprecated_tpu.utils.profiling import simple_timeit
+    from xsdeepfwfm_deprecated_tpu.train.trainer import make_multi_step, make_optimizer
 
-    cfg = _flagship()
-    tcfg = TrainConfig(batch_size=args.batch)
-    params = jax.jit(lambda k: deepfwfm.init_params(k, cfg))(jax.random.PRNGKey(0))
+    cfg = _flagship(full_criteo=args.full_criteo)
+    tcfg = TrainConfig(batch_size=args.batch, steps_per_call=args.k)
+    params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
     optimizer = make_optimizer(tcfg)
-    opt_state = optimizer.init(params)
-    train_step = make_train_step(cfg, tcfg, optimizer)
+    opt_state = jax.device_put(optimizer.init(params))
+    multi = make_multi_step(cfg, tcfg, optimizer)
 
-    b = args.batch
+    b, K = args.batch, args.k
     rng = np.random.default_rng(0)
     xi = jnp.asarray(rng.integers(0, [s for s in cfg.feature_sizes[13:]],
-                                  size=(b, 26)).astype(np.int32))
-    xv = jnp.asarray(rng.normal(size=(b, 13)).astype(np.float32))
-    y = jnp.asarray((rng.random(b) < 0.3).astype(np.float32))
-    mask = jnp.ones((b,), jnp.float32)
+                                  size=(K, b, 26)).astype(np.int32))
+    xv = jnp.asarray(rng.normal(size=(K, b, 13)).astype(np.float32))
+    y = jnp.asarray((rng.random((K, b)) < 0.3).astype(np.float32))
+    mask = jnp.ones((K, b), jnp.float32)
     key = jax.random.PRNGKey(1)
-    zeros_t = jnp.zeros((b,), jnp.float32)
+    zeros_t = jnp.zeros((K, b), jnp.float32)
 
-    state = {"p": params, "o": opt_state}
-
-    def one_step():
-        state["p"], state["o"], loss = train_step(
-            state["p"], state["o"], xi, xv, y, mask, key, zeros_t)
-        return loss
-
-    t = simple_timeit(one_step, tries=30, warmup=2)
+    p, o = params, opt_state
+    p, o, losses = multi(p, o, xi, xv, y, mask, key, zeros_t)
+    jax.device_get(jnp.sum(losses))              # warm-up + force completion
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        p, o, losses = multi(p, o, xi, xv, y, mask, key, zeros_t)
+        jax.device_get(jnp.sum(losses))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    t = ts[len(ts) // 2] / K
     print(json.dumps({
-        "metric": "train_throughput_deepfwfm_b%d" % b,
+        "metric": "train_throughput_deepfwfm_b%d_k%d" % (b, K),
         "value": round(b / t, 1),
         "unit": "examples/s",
         "step_ms": round(t * 1e3, 3),
