@@ -12,8 +12,7 @@ Baseline: the reference's own measured 8192-batch CPU forward for this same
 architecture — 1299.191 ms/batch single-thread (``data/results/criteo.md:5``,
 BASELINE.md) → 6305 examples/s. ``vs_baseline`` = ours / reference.
 
-Protocol (round 3, third iteration — the first two were measurement
-failures, both kept as labeled cross-checks):
+Protocol (round 4 revision — see RESULTS.md "Measurement methodology"):
 
 * round 2 pipelined dispatch loops measured the HOST'S ENQUEUE rate through
   the remote-attachment tunnel (``block_until_ready`` on this platform can
@@ -25,15 +24,26 @@ failures, both kept as labeled cross-checks):
   ~3-4× slower than straight-line code (measured: the same 320K-row lookup
   is 1.3 ms outside a scan body and 4-10 ms inside one), so it OVERSTATES
   serving cost;
-* the HEADLINE here is the MARGINAL cost of one forward in a straight-line
+* the HEADLINE is the MARGINAL cost of one forward in a straight-line
   dispatch: time(K2 independent forwards in one jit) − time(K1) divided by
   K2−K1, completion forced by ``jax.device_get`` of the summed logits.
   Distinct input batches defeat CSE; the summed output defeats DCE; the
-  subtraction cancels the dispatch RTT. This equals steady-state streaming
-  throughput on chip.
+  subtraction cancels the dispatch RTT. CAVEAT (advisor, round 3): with 16
+  independent replicas in one XLA program the scheduler may overlap one
+  replica's gathers with another's MXU work, so this is MULTI-BATCH-PER-
+  DISPATCH streaming throughput — a server that fuses ~16 batches per
+  dispatch (or runs one 131072-row batch; see next bullet) achieves it; a
+  strictly one-batch-per-dispatch server gets the sequential number, which
+  is reported alongside in the JSON (``scan_serialized_examples_per_s`` /
+  ``pipelined_wall_examples_per_s``);
+* third protocol, free of both confounds (no scan, no independent-replica
+  overlap): ONE concatenated batch-131072 forward (16×8192 rows in a single
+  gather + a single MLP), marginal-timed; reported as
+  ``bigbatch_examples_per_s``.
 
 A roofline guard marks the JSON invalid if achieved FLOP/s exceeds the
-chip's bf16 peak.
+chip's bf16 peak, or if the marginal slope is non-positive / exceeds the
+scan-serialized upper bound (dispatch-jitter sanity, advisor round 3).
 """
 
 import json
@@ -69,38 +79,9 @@ def gather_bytes_per_example(cfg) -> float:
     return C * 128 * 4.0
 
 
-def marginal_time(make_fn, inputs, k1=1, k2=16, reps=7):
-    """Seconds per op: slope of one-dispatch time in the number of
-    independent replicas. ``inputs`` is a list of ≥k2 distinct input tuples;
-    completion forced via D2H fetch of the summed scalar."""
-    import jax
-    import jax.numpy as jnp
-
-    def mk(k):
-        @jax.jit
-        def run(args_list):
-            tot = jnp.float32(0.0)
-            for a in args_list:
-                tot = tot + jnp.sum(make_fn(*a))
-            return tot
-        return run
-
-    r1, r2 = mk(k1), mk(k2)
-    jax.device_get(r1(inputs[:k1]))
-    jax.device_get(r2(inputs[:k2]))
-    t1s, t2s = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(r1(inputs[:k1]))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.device_get(r2(inputs[:k2]))
-        t2s.append(time.perf_counter() - t0)
-    return (min(t2s) - min(t1s)) / (k2 - k1)
-
-
 def main():
     import jax
+    import jax.numpy as jnp
 
     from xsdeepfwfm_deprecated_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -108,7 +89,7 @@ def main():
     from __graft_entry__ import _flagship
     from xsdeepfwfm_deprecated_tpu.models import deepfwfm
     from xsdeepfwfm_deprecated_tpu.ops.embedding import packed_lookup_serving
-    from xsdeepfwfm_deprecated_tpu.utils.profiling import scan_timeit
+    from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit, scan_timeit
 
     cfg = _flagship(full_criteo=True)
     params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
@@ -122,25 +103,50 @@ def main():
         xv = rng.normal(size=(b, 13)).astype(np.float32)
         inputs.append((jax.device_put(xi), jax.device_put(xv)))
 
-    def fwd(xi, xv):
-        return deepfwfm.forward(params, xi, xv, cfg,
+    def fwd(p, xi, xv):
+        return deepfwfm.forward(p, xi, xv, cfg,
                                 lookup_fn=packed_lookup_serving)
 
     # --- headline: marginal on-chip time per batch-8192 forward ------------
-    dt_chip = marginal_time(fwd, inputs)
+    # (shared protocol implementation — utils/profiling.marginal_timeit; a
+    # local near-copy drifted from it in round 3, advisor finding)
+    dt_chip = marginal_timeit(fwd, params, inputs)
 
     # --- cross-checks ------------------------------------------------------
-    jfwd = jax.jit(lambda p, a, v: deepfwfm.forward(
-        p, a, v, cfg, lookup_fn=packed_lookup_serving))
+    jfwd = jax.jit(fwd)
     dt_scan = scan_timeit(jfwd, params, *inputs[0], iters=50, reps=3)
     wall = []
+    jsum = jax.jit(lambda o: jnp.sum(o))
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(50):
             out = jfwd(params, *inputs[0])
-        jax.block_until_ready(out)
+        # completion forced by D2H of a scalar derived from the LAST output —
+        # block_until_ready returns early on this platform (advisor r3 low #2)
+        jax.device_get(jsum(out))
         wall.append((time.perf_counter() - t0) / 50)
     dt_wall = sorted(wall)[len(wall) // 2]
+
+    # --- third protocol: ONE concatenated batch-131072 forward -------------
+    # no scan, no independent-replica overlap: a single gather + single MLP
+    big_rows = 16 * b
+    bxi = jax.device_put(np.ascontiguousarray(rng.integers(
+        0, [s for s in cfg.feature_sizes[13:]],
+        size=(big_rows, 26)).astype(np.int32)))
+    bxv = jax.device_put(rng.normal(size=(big_rows, 13)).astype(np.float32))
+    jbig = jax.jit(lambda p, xi, xv: jnp.sum(fwd(p, xi, xv)))
+    jnull = jax.jit(lambda x: x + 1.0)   # dispatch-RTT estimator
+    zero = jax.device_put(np.float32(0.0))
+    jax.device_get(jbig(params, bxi, bxv)); jax.device_get(jnull(zero))
+    tb, tn = [], []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.device_get(jbig(params, bxi, bxv))
+        tb.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(jnull(zero))
+        tn.append(time.perf_counter() - t0)
+    dt_big = max(min(tb) - min(tn), 1e-9)   # one forward, RTT subtracted
 
     examples_per_s = b / dt_chip
     baseline = 8192 / 1.299191  # reference 8192-batch 1-thread CPU ms → ex/s
@@ -150,16 +156,19 @@ def main():
     bpe = gather_bytes_per_example(cfg)
     ach_flops = examples_per_s * fpe
     ach_gather = examples_per_s * bpe
-    roofline_ok = (ach_flops <= V5E_PEAK_BF16_FLOPS
+    roofline_ok = (0.0 < dt_chip <= dt_scan       # slope sanity (advisor r3)
+                   and ach_flops <= V5E_PEAK_BF16_FLOPS
                    and ach_gather <= V5E_PEAK_HBM_BYTES)
     emb_mb = sum(cfg.feature_sizes) * cfg.embedding_size * 4 / 1e6
     print(f"roofline: model=criteo-full ({sum(cfg.feature_sizes):,} features, "
           f"emb2 {emb_mb:.0f} MB logical > VMEM)\n"
           f"  {fpe / 1e6:.3f} MFLOP/ex, {bpe:.0f} B/ex padded gather\n"
-          f"  marginal {dt_chip * 1e3:.3f} ms/batch (headline) | "
-          f"scan-serialized {dt_scan * 1e3:.3f} ms/batch (overstates: scan-"
-          f"env gather penalty) | pipelined wall {dt_wall * 1e3:.3f} ms/batch "
-          f"(enqueue-bound on a tunnel, not trustworthy)\n"
+          f"  marginal {dt_chip * 1e3:.3f} ms/batch (headline: multi-batch-"
+          f"per-dispatch streaming) | scan-serialized {dt_scan * 1e3:.3f} "
+          f"ms/batch (overstates: scan-env gather penalty) | pipelined wall "
+          f"{dt_wall * 1e3:.3f} ms/batch (D2H-forced, sequential dispatch) | "
+          f"bigbatch-{big_rows} {dt_big * 1e3:.3f} ms "
+          f"({dt_big / 16 * 1e3:.3f} ms/8192, single-forward, RTT-subtracted)\n"
           f"  achieved {ach_flops / 1e12:.2f} TFLOP/s "
           f"({100 * ach_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e bf16 peak), "
           f"gather {ach_gather / 1e9:.1f} GB/s "
@@ -175,6 +184,7 @@ def main():
         "roofline_ok": roofline_ok,
         "scan_serialized_examples_per_s": round(b / dt_scan, 1),
         "pipelined_wall_examples_per_s": round(b / dt_wall, 1),
+        "bigbatch_examples_per_s": round(big_rows / dt_big, 1),
     }))
 
 

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--k", type=int, default=16, help="steps per dispatch")
     ap.add_argument("--full-criteo", action="store_true",
                     help="paper-scale 1.33M-feature tables")
+    ap.add_argument("--layout", choices=["super", "flat"], default="super",
+                    help="embedding-table layout (super = round-4 packed "
+                         "128-lane lines, the trainer default; flat = the "
+                         "logical (N, E) layout for A/B timing)")
     args = ap.parse_args()
 
     import time
@@ -45,11 +49,21 @@ def main():
     from xsdeepfwfm_deprecated_tpu.train.trainer import make_multi_step, make_optimizer
 
     cfg = _flagship(full_criteo=args.full_criteo)
-    tcfg = TrainConfig(batch_size=args.batch, steps_per_call=args.k)
+    tcfg = TrainConfig(batch_size=args.batch, steps_per_call=args.k,
+                       table_layout=args.layout)
     params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
+    forward_fn = None
+    if args.layout == "super":
+        from functools import partial
+
+        from xsdeepfwfm_deprecated_tpu.ops import superpack
+        spec = deepfwfm.make_embedding_spec(cfg)
+        params = superpack.pack_params(params, spec)
+        forward_fn = partial(deepfwfm.forward,
+                             lookup_fn=superpack.super_lookup)
     optimizer = make_optimizer(tcfg)
     opt_state = jax.device_put(optimizer.init(params))
-    multi = make_multi_step(cfg, tcfg, optimizer)
+    multi = make_multi_step(cfg, tcfg, optimizer, forward_fn=forward_fn)
 
     b, K = args.batch, args.k
     rng = np.random.default_rng(0)
@@ -77,6 +91,7 @@ def main():
         "value": round(b / t, 1),
         "unit": "examples/s",
         "step_ms": round(t * 1e3, 3),
+        "layout": args.layout,
     }))
 
 

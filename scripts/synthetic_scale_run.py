@@ -138,13 +138,15 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
     from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
 
     n_num = SHAPES[args.shape][0]
+    qat = bool(getattr(args, "qat", False)) and not deeplight
     mcfg = ModelConfig(field_size=len(feature_sizes),
                        feature_sizes=tuple(feature_sizes),
                        numerical=n_num, embedding_size=args.emb_size,
                        h_depth=3, deep_nodes=args.deep_nodes,
                        use_logit=args.lr_only, use_fm=False, use_ffm=False,
                        use_fwfm=not args.lr_only, use_deep=not args.lr_only,
-                       use_lw=not args.lr_only, use_fwlw=not args.lr_only)
+                       use_lw=not args.lr_only, use_fwlw=not args.lr_only,
+                       quantization_aware=qat)
     # the paper's DeepLight recipes (README.md:87, paper.pdf §5.3): warm +
     # prune epochs, prune every 10 iters; Criteo D-90/R-90/F-40 via
     # sparse=0.9, emb_corr=1, emb_r=0.444; Avazu D-98/R-90/F-0 via
@@ -196,6 +198,29 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
         "valid_auc_by_epoch": [round(v, 4) for v in est.valid_result],
         "train_wall_s": round(wall, 1),
     }
+    if qat:
+        # VERDICT r3 #5: QAT at scale — convert the fake-quant-trained model
+        # to TRUE int8 (reference flow: fit(quantization_aware=True) then
+        # convert inside eval, quantization.py:118-134 + DeepFMs.py:751-755)
+        # and record the converted AUC beside the fp-eval number.
+        import jax as _jax
+        from xsdeepfwfm_deprecated_tpu.compression.quantization import convert
+        from xsdeepfwfm_deprecated_tpu.serving.predictor import Predictor
+        from xsdeepfwfm_deprecated_tpu.train import metrics as M
+        qm = convert(_jax.device_get(est.params), mcfg, mode="qat")
+        pred = Predictor(qm)
+        logits = []
+        for lo in range(0, n_test, 8192):
+            logits.append(pred.logits(xi[lo:min(lo + 8192, n_test)],
+                                      xv[lo:min(lo + 8192, n_test)]))
+        p_int8 = 1.0 / (1.0 + np.exp(-np.concatenate(logits).astype(np.float64)))
+        out["mode"] = "qat"
+        out["int8_test_auc"] = round(M.roc_auc(
+            np.asarray(y[:n_test], np.float64), p_int8), 4)
+        if args.save:
+            est.save(f"{args.save}_quant_aware", epoch=tcfg.n_epochs - 1)
+            print(f"saved checkpoint: {args.save}_quant_aware")
+
     # test metrics at the best-valid epoch (recovering the best per-epoch
     # checkpoint, as the reference's torch.save-per-epoch allows)
     if est.best_params is not None:
@@ -236,6 +261,10 @@ def main():
     ap.add_argument("--emb-corr", type=float, default=1.0)
     ap.add_argument("--deeplight", action="store_true",
                     help="run the paper's prune recipe (D-90/R-90/F-40)")
+    ap.add_argument("--qat", action="store_true",
+                    help="quantization-aware training (fake-quant deep MLP, "
+                         "reference quantization.py:118-134); converts to "
+                         "true int8 after fit and records both AUCs")
     ap.add_argument("--compare", action="store_true",
                     help="run dense AND deeplight on the same data; report gap")
     ap.add_argument("--warm", type=int, default=2)

@@ -195,3 +195,59 @@ def test_fast_take_rows_matches_take_and_grads(rng):
                                    atol=1e-5)
     finally:
         emb_ops.FAST_GATHER_BYTES = orig
+
+
+def test_out_of_range_index_semantics_agree_across_regimes(rng):
+    """Out-of-range indices clip PER FIELD (to the field's last row) in every
+    lookup regime — naive, routed-window, serving — and in the custom-vjp
+    backward (advisor r3: the routed forward used to zero such rows while the
+    naive forward and the backward credited a clipped row)."""
+    sizes = (1, 1, 700, 513, 3)
+    num = 2
+    spec = emb_ops.make_spec(sizes, num)
+    table = jnp.asarray(rng.normal(size=(spec.dense_rows, 4)).astype(np.float32))
+    tables = {"dense": table}
+    # half the indices wildly out of range (negative and past the field size)
+    xi = np.stack([rng.integers(-300, 2 * n, size=48) for n in sizes[num:]],
+                  axis=1).astype(np.int32)
+    xv = rng.normal(size=(48, num)).astype(np.float32)
+    xi_j, xv_j = jnp.asarray(xi), jnp.asarray(xv)
+
+    want = np.zeros((48, len(sizes), 4), np.float32)
+    tl = [np.asarray(table[spec.dense_offsets[f]:spec.dense_offsets[f] + sizes[f]])
+          for f in range(len(sizes))]
+    for f in range(len(sizes)):
+        if f < num:
+            want[:, f] = tl[f][0][None] * xv[:, f][:, None]
+        else:
+            want[:, f] = tl[f][np.clip(xi[:, f - num], 0, sizes[f] - 1)]
+
+    got_naive = emb_ops.packed_lookup(tables, spec, xi_j, xv_j)
+    np.testing.assert_allclose(np.asarray(got_naive), want, rtol=1e-6)
+
+    got_serving = emb_ops.packed_lookup_serving(tables, spec, xi_j, xv_j)
+    np.testing.assert_allclose(np.asarray(got_serving), want, rtol=1e-6)
+
+    raw, _ = emb_ops.build_indices(spec, xi_j, xv_j)
+    got_routed = emb_ops._routed_gather(table, spec.dense_offsets,
+                                        spec.feature_sizes, raw, shard_rows=512)
+    # scale numeric rows to compare with the value-scaled naive output
+    got_routed = np.array(got_routed)
+    got_routed[:, :num] *= xv[..., None]
+    np.testing.assert_allclose(got_routed, want, rtol=1e-6)
+
+    # backward credits the SAME clipped rows the forward read
+    w = jnp.asarray(rng.normal(size=(48, len(sizes), 4)).astype(np.float32))
+    g_pack = jax.grad(lambda t: jnp.sum(
+        emb_ops.packed_lookup({"dense": t}, spec, xi_j, xv_j) * w))(table)
+    g_ref = np.zeros_like(np.asarray(table))
+    scale = np.concatenate([xv, np.ones((48, len(sizes) - num), np.float32)], 1)
+    wg = np.asarray(w) * scale[..., None]
+    for f in range(len(sizes)):
+        o = spec.dense_offsets[f]
+        if f < num:
+            g_ref[o] += wg[:, f].sum(0)
+        else:
+            for b in range(48):
+                g_ref[o + np.clip(xi[b, f - num], 0, sizes[f] - 1)] += wg[b, f]
+    np.testing.assert_allclose(np.asarray(g_pack), g_ref, rtol=1e-4, atol=1e-5)

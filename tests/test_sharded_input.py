@@ -67,3 +67,52 @@ def test_pipeline_covers_all_rows(csv_file):
                                 drop_remainder=False):
         seen.extend(b["label"].tolist())
     assert len(seen) == 57
+
+
+def test_bin_pipeline_epoch_shuffle_and_determinism(tmp_path):
+    """ShardedBinPipeline: every epoch is a permutation of the shard, windows
+    are deterministic per (seed, epoch), and row integrity holds across the
+    two-level shuffle."""
+    import numpy as np
+    from xsdeepfwfm_deprecated_tpu.data.sharded_input import ShardedBinPipeline
+
+    d = str(tmp_path / "bin")
+    w = ShardedBinPipeline.create(d, 1000, 3, 4)
+    w["label"][:] = np.arange(1000, dtype=np.float32)
+    w["value"][:] = np.arange(3000, dtype=np.float32).reshape(1000, 3)
+    w["index"][:] = np.arange(4000, dtype=np.int32).reshape(1000, 4)
+    for a in w.values():
+        a.flush()
+
+    p = ShardedBinPipeline(d, window_rows=256)
+    seen = []
+    for b in p.epoch_batches(64, seed=1, epoch=0):
+        assert b["label"].shape == (64,)
+        # rows stay intact through the shuffle (value row i == label*3+j)
+        np.testing.assert_array_equal(b["value"][:, 0], b["label"] * 3)
+        np.testing.assert_array_equal(b["index"][:, 1],
+                                      (b["label"] * 4 + 1).astype(np.int32))
+        seen.append(b["label"])
+    allseen = np.concatenate(seen)
+    assert len(np.unique(allseen)) == len(allseen) == 960  # drop_remainder
+    again = np.concatenate(
+        [b["label"] for b in p.epoch_batches(64, seed=1, epoch=0)])
+    np.testing.assert_array_equal(allseen, again)
+    other = np.concatenate(
+        [b["label"] for b in p.epoch_batches(64, seed=1, epoch=1)])
+    assert not np.array_equal(allseen, other)
+
+    # full coverage without drop_remainder
+    full = np.concatenate([b["label"] for b in p.epoch_batches(
+        64, seed=1, epoch=0, drop_remainder=False)])
+    assert sorted(full.tolist()) == list(range(1000))
+
+    # host sharding: two processes see disjoint halves
+    p0 = ShardedBinPipeline(d, window_rows=256, process_index=0, process_count=2)
+    p1 = ShardedBinPipeline(d, window_rows=256, process_index=1, process_count=2)
+    r0 = np.concatenate([b["label"] for b in p0.epoch_batches(
+        50, seed=1, epoch=0, drop_remainder=False)])
+    r1 = np.concatenate([b["label"] for b in p1.epoch_batches(
+        50, seed=1, epoch=0, drop_remainder=False)])
+    assert len(np.intersect1d(r0, r1)) == 0
+    assert len(r0) + len(r1) == 1000

@@ -552,3 +552,42 @@ def test_fit_mesh_grid_matches_single_device(rng):
                                      **mesh_kw)
         assert est_m._lookup_fn is not None and est_m._table_shards == 8
         np.testing.assert_allclose(meshed, single, rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_reshape_checkpoint_roundtrip(rng, tmp_path):
+    """VERDICT r3 #10: a checkpoint saved from a (4 data, 2 model) sharded fit
+    restores into a DIFFERENT mesh shape (2, 4) — and into a single-device
+    estimator — with identical logits, and training RESUMES on the new mesh.
+    ``unpad_rows`` strips the (4,2) padding on save; the (2,4) fit re-pads to
+    its own shard multiple."""
+    from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+    mcfg, xi, xv, y = _pp_case(rng)
+    path = str(tmp_path / "reshape_ckpt")
+    tcfg = TrainConfig(n_epochs=1, batch_size=64, eval_batch_size=128,
+                       random_seed=7, mesh_data=4, mesh_model=2, exchange="a2a")
+    est = DeepFMEstimator(mcfg, tcfg)
+    est.fit(xi, xv, y, save_path=path)
+    want = est.predict_proba(xi[:64], xv[:64])
+
+    # restore into the transposed mesh shape and continue training one epoch
+    tcfg2 = TrainConfig(n_epochs=2, batch_size=64, eval_batch_size=128,
+                        random_seed=7, mesh_data=2, mesh_model=4, exchange="a2a")
+    est2 = DeepFMEstimator(mcfg, tcfg2)
+    est2.fit(xi, xv, y, resume_from=path)
+    assert est2.mesh is not None and est2.mesh.shape["model"] == 4
+
+    # single-device restore of the SAME checkpoint predicts identically
+    fresh = DeepFMEstimator(mcfg, TrainConfig(random_seed=7))
+    fresh.load(path)
+    got = fresh.predict_proba(xi[:64], xv[:64])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # and the resumed (2,4) run must match a (4,2) run resumed from the same
+    # checkpoint (mesh shape must not change the training math)
+    est3 = DeepFMEstimator(mcfg, TrainConfig(
+        n_epochs=2, batch_size=64, eval_batch_size=128, random_seed=7,
+        mesh_data=4, mesh_model=2, exchange="a2a"))
+    est3.fit(xi, xv, y, resume_from=path)
+    m24 = np.array(est2.eval_by_batch(xi, xv, y))
+    m42 = np.array(est3.eval_by_batch(xi, xv, y))
+    np.testing.assert_allclose(m24, m42, rtol=2e-4, atol=2e-5)

@@ -122,9 +122,19 @@ def prune_params(params: Dict, adaptive_sparse: jax.Array, *,
                 return t[:dense_rows]
             return t
 
-        flat = jnp.concatenate([real(k, t).ravel() for k, t in tables.items()])
+        flats = []
+        for k, t in tables.items():
+            if isinstance(t, dict):
+                # super-row packed layout (ops/superpack.py): threshold over
+                # the packed values directly; the ≤(pack_factor−1)·E zero
+                # padding values of the last super-row are a ≤1e-5 fraction
+                # of a web-scale table and cannot move the bisection
+                flats.append(t["packed"].ravel())
+            else:
+                flats.append(real(k, t).ravel())
+        flat = jnp.concatenate(flats)
         thr = magnitude_threshold(flat, adaptive_sparse * emb_r)
-        params["emb2"] = {k: apply_threshold(t, thr) for k, t in tables.items()}
+        params["emb2"] = jax.tree.map(lambda t: apply_threshold(t, thr), tables)
 
     if prune_deep:
         if "deep" in params:

@@ -154,6 +154,13 @@ class TrainConfig:
     kd_temperature: float = 20.0
 
     steps_per_call: int = 1          # K optimizer steps per device dispatch (lax.scan)
+    table_layout: str = "super"      # super | flat — physical embedding-table
+                                     # layout on single-device paths. "super"
+                                     # packs 128//E rows per 128-lane line
+                                     # (ops/superpack.py): ~12× less HBM for
+                                     # E=10 tables and fast-path gathers at
+                                     # full-Criteo scale; bit-identical fp32
+                                     # semantics. Mesh-sharded runs use flat.
     eval_train_rows: int = 0         # cap rows for the per-epoch TRAIN-metric eval
                                      # (0 = full train set, the reference behavior
                                      # model/DeepFMs.py:681; a cap keeps epoch
@@ -245,6 +252,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Adaptive-schedule Omega (TPU extension; reference hardcodes 100)")
     p.add_argument("-steps_per_call", default=1, type=int,
                    help="Optimizer steps per device dispatch (TPU extension)")
+    p.add_argument("-table_layout", default="super", type=str,
+                   choices=["super", "flat"],
+                   help="Embedding-table physical layout (TPU extension; "
+                        "'super' packs rows into 128-lane lines)")
     p.add_argument("-mesh_data", default=1, type=int,
                    help="Data-parallel mesh axis size (1 = no data sharding, 0 = all remaining devices)")
     p.add_argument("-mesh_model", default=1, type=int,
@@ -308,6 +319,7 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         kd=bool(pars.kd),
         prune_omega=getattr(pars, "prune_omega", 100.0),
         steps_per_call=getattr(pars, "steps_per_call", 1),
+        table_layout=getattr(pars, "table_layout", "super"),
         mesh_data=getattr(pars, "mesh_data", 1),
         mesh_model=getattr(pars, "mesh_model", 1),
         exchange=getattr(pars, "exchange", "a2a_grid"),

@@ -175,6 +175,21 @@ def _fast_rows(dtype) -> int:
     return max(FAST_GATHER_BYTES // jnp.dtype(dtype).itemsize, 1)
 
 
+def _clip_per_field(raw: jax.Array, sizes) -> jax.Array:
+    """Clip each field's raw index into ``[0, sizes[f]-1]``.
+
+    Out-of-range indices are invalid input (the reference would either pick an
+    arbitrary row or crash, ``nn.Embedding`` semantics); here EVERY lookup
+    regime — naive, routed-window forward, and the scatter-add backward —
+    applies this same per-field clip, so an out-of-range index consistently
+    resolves to its field's LAST row in forward and backward alike (round-3
+    behavior depended on batch size via the routed/naive dispatch; advisor
+    finding r3).
+    """
+    hi = jnp.asarray([max(int(n) - 1, 0) for n in sizes], raw.dtype)[None, :]
+    return jnp.clip(raw, 0, hi)
+
+
 def _field_route_plan(offsets, sizes, total_rows, shard_rows):
     """Static routing plan: [(row_start, row_end, [(field, all_valid), ...])].
 
@@ -202,10 +217,13 @@ def _routed_gather(table: jax.Array, offsets, sizes, raw: jax.Array,
     """Gather ``out[:, f] = table[offsets[f] + raw[:, f]]`` via the fast-path
     routing plan above. Single-row fields (numeric slots) never gather: their
     row is a static slice broadcast over the batch. ``shard_rows`` overrides
-    the dtype-derived window size (tests).
+    the dtype-derived window size (tests). Indices are clipped per field
+    (see :func:`_clip_per_field`), so every index lands in one of its field's
+    windows — routed and naive forwards agree on any input.
     """
     B, F = raw.shape
     E = table.shape[1]
+    raw = _clip_per_field(raw, sizes)
     per_field = [None] * F
 
     for f, (o, n) in enumerate(zip(offsets, sizes)):
@@ -252,6 +270,7 @@ def _leading_single(sizes) -> int:
 
 def _field_gather_impl(offsets, sizes, table, raw):
     B = raw.shape[0]
+    raw = _clip_per_field(raw, sizes)
     num = _leading_single(sizes)
     multi = [f for f, n in enumerate(sizes) if n > 1]
     if B * len(multi) >= ROUTED_FWD_MIN_ROWS:
@@ -327,6 +346,7 @@ def _field_gather_fwd(offsets, sizes, table, raw):
 def _field_gather_bwd(offsets, sizes, res, g):
     n_rows, proto, raw = res
     g = g.astype(proto.dtype)
+    raw = _clip_per_field(raw, sizes)   # same clip as every forward regime
     single = [f for f, n in enumerate(sizes) if n <= 1]
     multi = [f for f, n in enumerate(sizes) if n > 1]
     offs = jnp.asarray([offsets[f] for f in multi], raw.dtype)[None, :]
@@ -420,6 +440,8 @@ def packed_lookup_serving(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpe
         "numeric fields must be leading single-row slots"
     dense = tables["dense"]
     B = xi.shape[0]
+    # per-field clip: identical out-of-range semantics to packed_lookup
+    xi = _clip_per_field(xi, spec.feature_sizes[num:])
     parts = []
     if num:
         nrow = jax.lax.slice_in_dim(dense, 0, num, axis=0)        # (num, E)
@@ -449,8 +471,13 @@ def packed_lookup_serving(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpe
 
 def _qr_gather(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
                raw: jax.Array) -> jax.Array:
-    """Quotient/remainder split + combine (reference ``QREmbeddingBag:156-174``)."""
+    """Quotient/remainder split + combine (reference ``QREmbeddingBag:156-174``).
+
+    Indices clip per field BEFORE the q/r split, so an out-of-range index
+    resolves to the last row's (q, r) pair — consistent with the dense path's
+    per-field clip (:func:`_clip_per_field`)."""
     c = spec.qr_collisions
+    raw = _clip_per_field(raw, spec.feature_sizes)
     q_sizes = tuple(-(-n // c) if qr else 1
                     for n, qr in zip(spec.feature_sizes, spec.is_qr_field))
     r_sizes = tuple(c if qr else 1 for qr in spec.is_qr_field)

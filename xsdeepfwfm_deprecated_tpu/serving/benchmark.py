@@ -107,8 +107,13 @@ def op_summary(predictor: Predictor, bxi: np.ndarray, bxv: np.ndarray,
         zero_rates = (0.0,) * (cfg.h_depth + 1)
 
         if "emb2" in model:
-            f_lookup = lambda p, xi, xv: emb_ops.packed_lookup_serving(
-                p["emb2"], spec, xi, xv)
+            from ..ops import superpack
+            # super_lookup serves both the super-row layout (Predictor
+            # default) and the flat layout (falls through to packed_lookup)
+            lk = (superpack.super_lookup
+                  if superpack.params_are_packed(model)
+                  else emb_ops.packed_lookup_serving)
+            f_lookup = lambda p, xi, xv: lk(p["emb2"], spec, xi, xv)
             rows.append(("Embedding lookup (packed gather)",
                          _marg(f_lookup, [(x, xv_d) for x in _rolled(xi_d)])))
             emb2_d = jax.device_put(np.asarray(jax.jit(f_lookup)(model, xi_d, xv_d)))

@@ -24,7 +24,7 @@ class Predictor:
     batch or single-example."""
 
     def __init__(self, model: Union[Dict, QuantizedModel, CompactModel],
-                 cfg: Optional[ModelConfig] = None):
+                 cfg: Optional[ModelConfig] = None, layout: str = "super"):
         # the model is always a jitted-function ARGUMENT, never a closure —
         # closed-over multi-MB arrays become graph constants (minutes of
         # compile, ~80x slower dispatch; measured, see RESULTS.md)
@@ -42,12 +42,22 @@ class Predictor:
         else:
             assert cfg is not None, "fp32 params need an explicit ModelConfig"
             self.cfg = cfg
-            self._model = jax.device_put(model)
-            # out-of-scan serving dispatch → the single-gather serving lookup
-            # (see ops.embedding.packed_lookup_serving)
+            from ..ops import superpack
             from ..ops.embedding import packed_lookup_serving
+            if layout == "super" and not superpack.params_are_packed(model):
+                # super-row layout (ops/superpack.py): the packed table sits
+                # under the gather fast-path knee at full-Criteo scale
+                # (measurement in RESULTS.md "Super-row layout");
+                # fp32-bit-identical logits; layout="flat" restores the
+                # single-gather packed_lookup_serving path
+                spec = deepfwfm.make_embedding_spec(cfg)
+                model = superpack.pack_params(jax.device_get(model), spec)
+            lookup = (superpack.super_lookup
+                      if superpack.params_are_packed(model)
+                      else packed_lookup_serving)
+            self._model = jax.device_put(model)
             self._fn = jax.jit(lambda p, xi, xv: deepfwfm.forward(
-                p, xi, xv, cfg, lookup_fn=packed_lookup_serving))
+                p, xi, xv, cfg, lookup_fn=lookup))
 
     def logits(self, xi: np.ndarray, xv: np.ndarray) -> np.ndarray:
         return np.asarray(self._fn(self._model, jnp.asarray(xi, jnp.int32),

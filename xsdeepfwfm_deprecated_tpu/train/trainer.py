@@ -35,6 +35,7 @@ from ..compression.pruning import prune_params, sparsity_report
 from ..config import ModelConfig, TrainConfig
 from ..data import batching
 from ..models import deepfwfm
+from ..ops import superpack
 from . import checkpoint as ckpt
 from . import metrics as M
 
@@ -305,13 +306,28 @@ class DeepFMEstimator:
                 self.opt_state, mesh_mod.param_shardings(self.opt_state, self.mesh, axes))
 
     @property
+    def use_super_layout(self) -> bool:
+        """Super-row table packing applies on single-device (mesh-less) paths
+        (``-table_layout super``, the default); mesh exchanges keep the flat
+        row-sharded layout."""
+        return (self.mesh is None
+                and getattr(self.tcfg, "table_layout", "super") == "super")
+
+    @property
     def forward_fn(self):
-        """model_forward with the sharded lookup bound (identity when no mesh)."""
+        """model_forward with the sharded lookup bound (identity when no mesh).
+
+        Single-device paths bind :func:`..ops.superpack.super_lookup`, which
+        serves packed tables and falls through to ``packed_lookup`` when the
+        params are in the logical (N, E) layout — one lookup for both states.
+        """
         if self._fwd is not None:
             return self._fwd
         fwd = type(self).model_forward
         if self._lookup_fn is not None:
             fwd = partial(fwd, lookup_fn=self._lookup_fn)
+        elif self.use_super_layout:
+            fwd = partial(fwd, lookup_fn=superpack.super_lookup)
         self._fwd = fwd
         return fwd
 
@@ -385,6 +401,15 @@ class DeepFMEstimator:
         # multi-chip: build the mesh, shard params + opt state, bind the
         # sharded lookup exchange into the forward
         self._setup_mesh()
+        # single-device: repack tables (and the optimizer moments, which
+        # mirror the params tree) into the super-row layout for the duration
+        # of fit — ~12× less HBM traffic on every dense table pass and
+        # fast-path gathers at full-Criteo scale (ops/superpack.py). Unpacked
+        # again before returning; checkpoints always store (N, E).
+        if self.use_super_layout and not superpack.params_are_packed(self.params):
+            spec = type(self).model_spec(self.mcfg)
+            self.params = superpack.pack_params(self.params, spec)
+            self.opt_state = superpack.pack_params(self.opt_state, spec)
         n_shards = self._n_batch_shards()
         if n_shards > 1:
             if tc.batch_size % n_shards:
@@ -428,7 +453,10 @@ class DeepFMEstimator:
         train_step = make_train_step(self.mcfg, tc, optimizer, use_kd=use_kd,
                                      forward_fn=self.forward_fn)
 
-        counts = deepfwfm.param_group_counts(self.params, self.mcfg)
+        counts_view = (superpack.unpack_params(self.params, type(self).model_spec(self.mcfg))
+                       if superpack.params_are_packed(self.params) else self.params)
+        counts = deepfwfm.param_group_counts(counts_view, self.mcfg)
+        del counts_view
         self._log("========")
         self._log(f"Summation of feature sizes: {sum(self.mcfg.feature_sizes):,}")
         self._log(f"Number of 1st order embeddings: {counts['first_order_embeddings']:,}")
@@ -573,7 +601,11 @@ class DeepFMEstimator:
                           % (epoch + 1, vl, va, vp, vr, rep["sparsity_pct"],
                              time.time() - epoch_begin))
                 if keep_best and va >= max(self.valid_result):
-                    self.best_params = jax.device_get(self.params)
+                    snap = self.params
+                    if superpack.params_are_packed(snap):
+                        snap = superpack.unpack_params(
+                            snap, type(self).model_spec(self.mcfg))
+                    self.best_params = jax.device_get(snap)
                     self.best_epoch = epoch
                     self.best_valid_auc = va
             self._log("*" * 50)
@@ -587,6 +619,14 @@ class DeepFMEstimator:
             if is_valid and early_stopping and self.training_termination(self.valid_result):
                 self._log("early stop at [%d] epoch!" % (epoch + 1))
                 break
+
+        if superpack.params_are_packed(self.params):
+            # restore the logical (N, E) layout for the post-fit surface
+            # (predict/benchmark/quantize/checkpoint all see logical tables)
+            spec = type(self).model_spec(self.mcfg)
+            self.params = superpack.unpack_params(self.params, spec)
+            if self.opt_state is not None:
+                self.opt_state = superpack.unpack_params(self.opt_state, spec)
 
         if do_prune:
             counts = deepfwfm.param_group_counts(self.params, self.mcfg, nonzero=True)
@@ -677,6 +717,12 @@ class DeepFMEstimator:
 
     def save(self, path: str, epoch: int = 0, sparse: bool = False):
         params, opt_state = self.params, self.opt_state
+        if superpack.params_are_packed(params):
+            # checkpoints always store the portable logical (N, E) layout
+            spec = type(self).model_spec(self.mcfg)
+            params = superpack.unpack_params(params, spec)
+            if opt_state is not None:
+                opt_state = superpack.unpack_params(opt_state, spec)
         if self.mesh is not None:
             # strip mesh-padding rows so checkpoints load into unsharded models
             from ..parallel import mesh as mesh_mod
