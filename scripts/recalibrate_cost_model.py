@@ -36,10 +36,37 @@ def _force(x):
     jax.device_get(x)
 
 
-def scan_time(op, *args, iters=20, reps=3):
+_RTT = None
+
+
+def dispatch_rtt():
+    """Median null-dispatch + D2H round trip — subtracted from every scan
+    measurement (through the remote tunnel this is ~tens of ms and swamped
+    small-op timings in the first round-4 run)."""
+    global _RTT
+    if _RTT is not None:
+        return _RTT
+    import jax
+    import jax.numpy as jnp
+    null = jax.jit(lambda x: x + 1.0)
+    z = jax.device_put(np.float32(0.0))
+    _force(null(z))
+    ts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        _force(null(z))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    _RTT = ts[len(ts) // 2]
+    print(f"[dispatch_rtt] {_RTT * 1e3:.2f} ms", flush=True)
+    return _RTT
+
+
+def scan_time(op, *args, iters=50, reps=3):
     """Seconds per op inside a lax.scan body (the training-dispatch regime).
     A scalar carry derived from each step's output feeds the next step's
-    input — a data dependency XLA cannot hoist or CSE."""
+    input — a data dependency XLA cannot hoist or CSE. The dispatch RTT is
+    measured separately and subtracted."""
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +78,7 @@ def scan_time(op, *args, iters=20, reps=3):
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return carry
 
+    rtt = dispatch_rtt()
     _force(run(*args))
     ts = []
     for _ in range(reps):
@@ -58,31 +86,34 @@ def scan_time(op, *args, iters=20, reps=3):
         _force(run(*args))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return ts[len(ts) // 2] / iters
+    return max(ts[len(ts) // 2] - rtt, 1e-9) / iters
 
 
 def line_time(op, *args, k1=1, k2=8, reps=5):
     """Seconds per op in straight-line code: marginal cost of one extra
-    replica in a single dispatch (distinct dummy offsets defeat CSE)."""
+    replica in a single dispatch. Each replica's dummy offset is read from a
+    TRACED input array (a Python-literal offset constant-folds and the
+    replicas CSE to one — measured 0.0 slopes, round-4 first attempt)."""
     import jax
     import jax.numpy as jnp
 
     def mk(k):
         @jax.jit
-        def run(*args):
+        def run(offs, *args):
             tot = jnp.float32(0.0)
             for i in range(k):
-                out = op(*args, jnp.float32(i * 1e-30))
+                out = op(*args, offs[i])
                 tot = tot + jnp.sum(out).astype(jnp.float32)
             return tot
         return run
 
+    offs = jnp.zeros((max(k1, k2),), jnp.float32)   # zeros at runtime, traced
     r1, r2 = mk(k1), mk(k2)
-    _force(r1(*args)); _force(r2(*args))
+    _force(r1(offs, *args)); _force(r2(offs, *args))
     t1s, t2s = [], []
     for _ in range(reps):
-        t0 = time.perf_counter(); _force(r1(*args)); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); _force(r2(*args)); t2s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); _force(r1(offs, *args)); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); _force(r2(offs, *args)); t2s.append(time.perf_counter() - t0)
     return max(min(t2s) - min(t1s), 1e-9) / (k2 - k1)
 
 
@@ -129,7 +160,7 @@ def main():
             def g(table, idx, c):
                 return jnp.take(table, jnp.clip(
                     idx + (c * 0).astype(idx.dtype), 0, n - 1), axis=0)
-            dt_scan = scan_time(g, table, idx, iters=10)
+            dt_scan = scan_time(g, table, idx, iters=40)
             dt_line = line_time(g, table, idx, k2=4)
             res[n] = (dt_scan / M * 1e9, dt_line / M * 1e9)
             rec(f"gather_{name}_{n}rows", bytes_per_lane=n * item,
@@ -171,8 +202,8 @@ def main():
                 table, spec.dense_offsets, spec.feature_sizes,
                 raw + (c * 0).astype(raw.dtype))
 
-        dt_n = scan_time(naive, table, raw, iters=10)
-        dt_r = scan_time(routed, table, raw, iters=10)
+        dt_n = scan_time(naive, table, raw, iters=40)
+        dt_r = scan_time(routed, table, raw, iters=40)
         rec(f"routed_vs_naive_b{b}", rows=b * 26,
             naive_ms=round(dt_n * 1e3, 3), routed_ms=round(dt_r * 1e3, 3),
             routed_wins=bool(dt_r < dt_n))
@@ -195,8 +226,8 @@ def main():
     def scat_windowed(upd, sidx, c):
         return emb._windowed_scatter_add(spec.dense_rows, sidx, upd + c)
 
-    dt_s = scan_time(scat_single, upd, sidx, iters=5)
-    dt_w = scan_time(scat_windowed, upd, sidx, iters=5)
+    dt_s = scan_time(scat_single, upd, sidx, iters=30)
+    dt_w = scan_time(scat_windowed, upd, sidx, iters=30)
     rec("scatter_53k_fullcriteo", single_ms=round(dt_s * 1e3, 3),
         windowed_ms=round(dt_w * 1e3, 3), windowed_wins=bool(dt_w < dt_s))
 
@@ -213,7 +244,7 @@ def main():
     for lname, arr in (("N_E_padded", table), ("superpacked", packed),
                        ("flat_1d", flat)):
         m = jnp.zeros_like(arr); v = jnp.zeros_like(arr); g = jnp.ones_like(arr)
-        dt = scan_time(adam_chain, arr, m, v, g, iters=10)
+        dt = scan_time(adam_chain, arr, m, v, g, iters=40)
         rec(f"adam_chain_{lname}", shape=str(arr.shape),
             ms=round(dt * 1e3, 3))
 
@@ -226,9 +257,9 @@ def main():
         return sp.packed_take_rows(12, spec.dense_rows, packed,
                                    idx + (c * 0).astype(idx.dtype))
 
-    dt_gf_s = scan_time(g_flatlayout, table, idx, iters=10)
+    dt_gf_s = scan_time(g_flatlayout, table, idx, iters=40)
     dt_gf_l = line_time(g_flatlayout, table, idx, k2=4)
-    dt_gs_s = scan_time(g_super, packed, idx, iters=10)
+    dt_gs_s = scan_time(g_super, packed, idx, iters=40)
     dt_gs_l = line_time(g_super, packed, idx, k2=4)
     rec("gather_213k_flat_vs_super",
         flat_scan_ms=round(dt_gf_s * 1e3, 3), flat_line_ms=round(dt_gf_l * 1e3, 3),
@@ -243,7 +274,7 @@ def main():
     def scat_super(upd_super, sup, c):
         return emb._windowed_scatter_add(packed.shape[0], sup, upd_super + c)
 
-    dt_ss = scan_time(scat_super, upd_super, sup, iters=5)
+    dt_ss = scan_time(scat_super, upd_super, sup, iters=30)
     rec("scatter_53k_super", ms=round(dt_ss * 1e3, 3),
         vs_flat_windowed_ms=round(dt_w * 1e3, 3))
 
@@ -258,8 +289,8 @@ def main():
         def via_bisect(w, c):
             return pr._bisect_threshold(jnp.abs(w + c), jnp.float32(0.9))[None]
 
-        dt_q = scan_time(via_quantile, w, iters=5)
-        dt_b = scan_time(via_bisect, w, iters=5)
+        dt_q = scan_time(via_quantile, w, iters=30)
+        dt_b = scan_time(via_bisect, w, iters=30)
         rec(f"threshold_{n}", quantile_ms=round(dt_q * 1e3, 3),
             bisect_ms=round(dt_b * 1e3, 3), bisect_wins=bool(dt_b < dt_q),
             configured_switch=pr.BISECT_SIZE)

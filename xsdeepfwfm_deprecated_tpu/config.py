@@ -65,6 +65,12 @@ class ModelConfig:
     static_quantization: bool = False
     dynamic_quantization: bool = False
 
+    # Embedding-table storage dtype (TPU extension, VERDICT r3 #7): "bf16"
+    # halves table + Adam-moment HBM bytes (gathered rows upcast to f32 for
+    # the interaction/tower math; gradients cast back on the scatter).
+    # MLP/R/bias stay f32.
+    table_dtype: str = "f32"         # f32 | bf16
+
     n_class: int = 1
 
     def __post_init__(self):
@@ -80,6 +86,8 @@ class ModelConfig:
                 f"feature_sizes has {len(self.feature_sizes)} entries, expected {self.field_size}")
         if self.qr_flag and self.qr_operation not in ("mult", "add", "concat"):
             raise ValueError(f"invalid qr_operation {self.qr_operation!r}")
+        if self.table_dtype not in ("f32", "bf16"):
+            raise ValueError(f"invalid table_dtype {self.table_dtype!r}")
 
     # ----- derived static properties ---------------------------------------
 
@@ -252,6 +260,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Adaptive-schedule Omega (TPU extension; reference hardcodes 100)")
     p.add_argument("-steps_per_call", default=1, type=int,
                    help="Optimizer steps per device dispatch (TPU extension)")
+    p.add_argument("-table_dtype", default="f32", type=str,
+                   choices=["f32", "bf16"],
+                   help="Embedding-table storage dtype (TPU extension; bf16 "
+                        "halves table+moment bytes)")
     p.add_argument("-table_layout", default="super", type=str,
                    choices=["super", "flat"],
                    help="Embedding-table physical layout (TPU extension; "
@@ -298,6 +310,7 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         quantization_aware=bool(pars.quantization_aware),
         static_quantization=bool(pars.static_quantization),
         dynamic_quantization=bool(pars.dynamic_quantization),
+        table_dtype=getattr(pars, "table_dtype", "f32"),
     )
     tcfg = TrainConfig(
         n_epochs=pars.n_epochs,

@@ -66,10 +66,13 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
     if cfg.use_shallow:
         params["bias"] = jnp.asarray([0.01], dtype)          # reference :186
 
+    # table storage dtype (-table_dtype bf16 halves table+moment HBM bytes;
+    # the lookup upcasts to f32 for the interaction/tower math)
+    tdt = jnp.bfloat16 if cfg.table_dtype == "bf16" else dtype
     if cfg.needs_emb1:
-        params["emb1"] = emb_ops.init_tables(next(keys), spec, 1, scale=1.0, dtype=dtype)
+        params["emb1"] = emb_ops.init_tables(next(keys), spec, 1, scale=1.0, dtype=tdt)
     if cfg.needs_emb2:
-        params["emb2"] = emb_ops.init_tables(next(keys), spec, e, scale=0.01, dtype=dtype)
+        params["emb2"] = emb_ops.init_tables(next(keys), spec, e, scale=0.01, dtype=tdt)
 
     if (cfg.use_fm or cfg.use_fwfm) and cfg.use_lw:
         # fm_1st = Linear(field_size, 1, bias=False); N(0,1)·head (reference :216,:494)
@@ -87,8 +90,8 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
         # F× the FwFM table. Identical asymptotics to the reference's
         # per-field-pair ModuleList grid (model/DeepFMs.py:235-237); FFM on
         # web-scale cardinalities is memory-prohibitive in both designs.
-        params["ffm1"] = emb_ops.init_tables(next(keys), spec, 1, scale=1.0, dtype=dtype)
-        params["ffm2"] = emb_ops.init_tables(next(keys), spec, f * e, scale=0.01, dtype=dtype)
+        params["ffm1"] = emb_ops.init_tables(next(keys), spec, 1, scale=1.0, dtype=tdt)
+        params["ffm2"] = emb_ops.init_tables(next(keys), spec, f * e, scale=0.01, dtype=tdt)
 
     if cfg.use_deep:
         deep_in = f * e

@@ -153,6 +153,8 @@ def packed_lookup(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
         emb = jnp.where(mask, qr_emb, dense_emb)
     else:
         emb = dense_emb
+    # the value-scale multiply also upcasts bf16-stored tables to the compute
+    # dtype (f32 xv); gradients cast back to the table dtype in the bwd rule
     return emb * scale[..., None]
 
 
@@ -252,10 +254,16 @@ def _routed_gather(table: jax.Array, offsets, sizes, raw: jax.Array,
 
 
 # Below this many gathered rows (static: batch × multi-row fields) the
-# single-gather forward beats the routed one inside a scan body (measured
-# on v5e at 26 categorical fields: naive wins at B=4096 / 106K rows, routed
-# wins at B=8192 / 213K rows — e.g. the scanned eval dispatch).
-ROUTED_FWD_MIN_ROWS = 200_000
+# single-gather forward beats the routed one inside a scan body. Round-3
+# measured the crossover between B=4096 (106K rows, naive wins) and B=8192
+# (213K rows, routed wins) and set 200_000; the round-4 recalibration
+# (scripts/recalibrate_cost_model.py, RECALIBRATE_r4.json) found routed
+# already winning at 106K rows (naive 4.24 ms vs routed 2.91 ms in-scan) —
+# constant updated to the measured crossover. NOTE: this dispatch only
+# governs the FLAT (N, E) layout (mesh-sharded paths); the single-device
+# product path uses the super-row layout (ops/superpack.py), whose packed
+# operand sits under the fast-path knee and needs no routing at all.
+ROUTED_FWD_MIN_ROWS = 106_000
 
 
 def _leading_single(sizes) -> int:
@@ -307,8 +315,15 @@ def _windowed_scatter_add(n_rows, idx_flat, upd_flat):
 
     The TPU scatter emitter has the same large-operand cliff as gather; a
     windowed scatter into ≤2**19-byte-per-lane slices concatenated back is
-    exact (windows partition the rows) and measured 2× faster than one big
-    scatter at full-Criteo scale (4.8 → 2.4 ms for 53K updates, in-scan).
+    exact (windows partition the rows). Round 3 measured it 2× faster than
+    one big scatter at full-Criteo scale (4.8 → 2.4 ms for 53K updates,
+    in-scan); the round-4 recalibration measured the OPPOSITE on the same
+    chip (single 3.46 ms vs windowed 8.97 ms — RECALIBRATE_r4.json), i.e.
+    the emitter's scatter cliff moved across an XLA update. The product path
+    no longer cares: the super-row layout's scatter operand (ops/superpack.py)
+    sits under the fast-path knee, where this function does a single
+    scatter-add anyway (0.52 ms measured). The windowed branch remains for
+    flat-layout operands past the knee (mesh-sharded tables).
     """
     W = _fast_rows(upd_flat.dtype)
     if n_rows <= W:
@@ -465,7 +480,7 @@ def packed_lookup_serving(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpe
             qr = jnp.concatenate([q_emb, r_emb], axis=-1)
         mask = jnp.asarray(spec.is_qr_field[num:])[None, :, None]
         out_cat = jnp.where(mask, qr, out_cat)
-    parts.append(out_cat)
+    parts.append(out_cat.astype(xv.dtype))   # bf16 tables → compute dtype
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 

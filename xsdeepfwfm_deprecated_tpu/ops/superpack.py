@@ -242,5 +242,5 @@ def super_lookup(tables: Dict, spec: PackedEmbeddingSpec, xi: jax.Array,
             qr_emb = jnp.concatenate([q_emb, r_emb], axis=-1)
         mask = jnp.asarray(spec.is_qr_field[num:])[None, :, None]
         out_cat = jnp.where(mask, qr_emb, out_cat)
-    parts.append(out_cat)
+    parts.append(out_cat.astype(xv.dtype))   # bf16 tables → compute dtype
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]

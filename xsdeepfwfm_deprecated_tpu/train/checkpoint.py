@@ -27,7 +27,12 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     for path, leaf in leaves_with_path:
         name = prefix + "/".join(
             str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k)))) for k in path)
-        flat[name] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.name == "bfloat16":
+            # npz cannot round-trip the ml_dtypes bfloat16; store widened to
+            # f32 (lossless) — load casts back to the template leaf's dtype
+            arr = arr.astype(np.float32)
+        flat[name] = arr
     return flat
 
 
