@@ -93,12 +93,13 @@ def main():
     from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit, scan_timeit
 
     cfg = _flagship(full_criteo=True)
-    params_flat = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
-    # the Predictor's product layout (round 4): super-row packed tables —
-    # the packed operand sits under the gather fast-path knee (443 KB/lane at
-    # full-Criteo vs 5.3 MB flat; RECALIBRATE_r4.json)
+    # serving headline = the Predictor's product layout: FLAT single-gather
+    # (the super-row layout wins the training dispatch 2.75× but loses the
+    # out-of-scan serving forward — measured round 4, RESULTS.md "Super-row
+    # table layout"; reported here as the super_layout_* A/B field)
+    params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
     spec = deepfwfm.make_embedding_spec(cfg)
-    params = jax.device_put(superpack.pack_params(params_flat, spec))
+    params_super = jax.device_put(superpack.pack_params(params, spec))
     rng = np.random.default_rng(0)
     b = 8192
     K2 = 16
@@ -111,17 +112,17 @@ def main():
 
     def fwd(p, xi, xv):
         return deepfwfm.forward(p, xi, xv, cfg,
-                                lookup_fn=superpack.super_lookup)
-
-    def fwd_flat(p, xi, xv):
-        return deepfwfm.forward(p, xi, xv, cfg,
                                 lookup_fn=packed_lookup_serving)
+
+    def fwd_super(p, xi, xv):
+        return deepfwfm.forward(p, xi, xv, cfg,
+                                lookup_fn=superpack.super_lookup)
 
     # --- headline: marginal on-chip time per batch-8192 forward ------------
     # (shared protocol implementation — utils/profiling.marginal_timeit; a
     # local near-copy drifted from it in round 3, advisor finding)
     dt_chip = marginal_timeit(fwd, params, inputs)
-    dt_flat = marginal_timeit(fwd_flat, params_flat, inputs)  # r3 layout A/B
+    dt_super = marginal_timeit(fwd_super, params_super, inputs)  # layout A/B
 
     # --- cross-checks ------------------------------------------------------
     jfwd = jax.jit(fwd)
@@ -196,7 +197,7 @@ def main():
         "scan_serialized_examples_per_s": round(b / dt_scan, 1),
         "pipelined_wall_examples_per_s": round(b / dt_wall, 1),
         "bigbatch_examples_per_s": round(big_rows / dt_big, 1),
-        "flat_layout_examples_per_s": round(b / dt_flat, 1),
+        "super_layout_examples_per_s": round(b / dt_super, 1),
     }))
 
 

@@ -124,3 +124,34 @@ def test_pack_params_tree_roundtrip():
     restored = sp.unpack_params(packed, spec)
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_table_dtype_train_checkpoint_roundtrip(rng, tmp_path):
+    """-table_dtype bf16: tables+moments in bf16, f32 compute, checkpoint
+    round-trips through the f32-widened npz, resume works."""
+    from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
+    from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+
+    mcfg = ModelConfig(field_size=6, feature_sizes=(1, 1, 1, 40, 56, 300),
+                       numerical=3, embedding_size=10, use_fwfm=True,
+                       use_deep=True, use_lw=True, use_fwlw=True,
+                       deep_nodes=16, table_dtype="bf16")
+    xi = rng.integers(0, [40, 56, 300], size=(512, 3)).astype(np.int32)
+    xv = rng.normal(size=(512, 3)).astype(np.float32)
+    y = (rng.random(512) < 0.3).astype(np.float32)
+    est = DeepFMEstimator(mcfg, TrainConfig(n_epochs=1, batch_size=128,
+                                            random_seed=7))
+    est.fit(xi, xv, y)
+    assert est.params["emb2"]["dense"].dtype == jnp.bfloat16
+    assert np.asarray(est.predict_proba(xi[:8], xv[:8])).dtype == np.float64
+
+    path = str(tmp_path / "bf16_ck")
+    est.save(path)
+    est2 = DeepFMEstimator(mcfg, TrainConfig(random_seed=7))
+    est2.load(path)
+    assert est2.params["emb2"]["dense"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(est2.predict_proba(xi[:64], xv[:64]),
+                               est.predict_proba(xi[:64], xv[:64]), rtol=1e-5)
+    est3 = DeepFMEstimator(mcfg, TrainConfig(n_epochs=2, batch_size=128,
+                                             random_seed=7))
+    est3.fit(xi, xv, y, resume_from=path)   # resume through bf16 opt state

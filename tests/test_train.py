@@ -449,3 +449,58 @@ def test_kd_multi_step_matches_k1(tiny_criteo):
     np.testing.assert_allclose(means[1], means[4], rtol=1e-4)
     for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[4])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_super_layout_fit_matches_flat(rng):
+    """-table_layout super (the default) trains to metrics IDENTICAL to the
+    flat (N, E) layout — the super-row packing is a physical-layout change
+    only (round 4, ops/superpack.py). Covers the packed fit → unpacked
+    predict boundary, keep_best, and the per-epoch checkpoint."""
+    sizes = (1, 1, 1, 40, 56, 300)
+    mcfg = ModelConfig(field_size=6, feature_sizes=sizes, numerical=3,
+                       embedding_size=10, use_fwfm=True, use_deep=True,
+                       use_lw=True, use_fwlw=True, deep_nodes=16)
+    n = 1024
+    xi = rng.integers(0, [40, 56, 300], size=(n, 3)).astype(np.int32)
+    xv = rng.normal(size=(n, 3)).astype(np.float32)
+    y = (rng.random(n) < 0.3).astype(np.float32)
+
+    res = {}
+    for layout in ("super", "flat"):
+        tcfg = TrainConfig(n_epochs=2, batch_size=128, random_seed=7,
+                           table_layout=layout)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(xi, xv, y, xi[:256], xv[:256], y[:256], keep_best=True)
+        res[layout] = (np.array(est.eval_by_batch(xi, xv, y)),
+                       est.predict_proba(xi[:64], xv[:64]))
+        # params come back in the logical layout either way
+        assert est.params["emb2"]["dense"].shape == (sum(sizes), 10)
+        assert est.best_params is not None
+    np.testing.assert_allclose(res["super"][0], res["flat"][0],
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(res["super"][1], res["flat"][1],
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_super_layout_fit_with_prune_and_multistep(rng):
+    """Fused-prune multi-step dispatch (K=prune_interval) runs on packed
+    tables; sparsity schedule matches the flat layout's."""
+    from xsdeepfwfm_deprecated_tpu.compression.pruning import sparsity_report
+    sizes = (1, 1, 1, 40, 56, 300)
+    mcfg = ModelConfig(field_size=6, feature_sizes=sizes, numerical=3,
+                       embedding_size=10, use_fwfm=True, use_deep=True,
+                       use_lw=True, use_fwlw=True, deep_nodes=16)
+    n = 1024
+    xi = rng.integers(0, [40, 56, 300], size=(n, 3)).astype(np.int32)
+    xv = rng.normal(size=(n, 3)).astype(np.float32)
+    y = (rng.random(n) < 0.3).astype(np.float32)
+    sp = {}
+    for layout in ("super", "flat"):
+        tcfg = TrainConfig(n_epochs=2, batch_size=128, random_seed=7,
+                           table_layout=layout, prune=True, sparse=0.5,
+                           warm=0, prune_r=True, steps_per_call=4)
+        est = DeepFMEstimator(mcfg, tcfg)
+        est.fit(xi, xv, y)
+        sp[layout] = sparsity_report(est.params)["sparsity_pct"]
+    assert sp["super"] > 0.0
+    assert sp["super"] == pytest.approx(sp["flat"], abs=0.2)

@@ -24,7 +24,7 @@ class Predictor:
     batch or single-example."""
 
     def __init__(self, model: Union[Dict, QuantizedModel, CompactModel],
-                 cfg: Optional[ModelConfig] = None, layout: str = "super"):
+                 cfg: Optional[ModelConfig] = None, layout: str = "flat"):
         # the model is always a jitted-function ARGUMENT, never a closure —
         # closed-over multi-MB arrays become graph constants (minutes of
         # compile, ~80x slower dispatch; measured, see RESULTS.md)
@@ -45,11 +45,15 @@ class Predictor:
             from ..ops import superpack
             from ..ops.embedding import packed_lookup_serving
             if layout == "super" and not superpack.params_are_packed(model):
-                # super-row layout (ops/superpack.py): the packed table sits
-                # under the gather fast-path knee at full-Criteo scale
-                # (measurement in RESULTS.md "Super-row layout");
-                # fp32-bit-identical logits; layout="flat" restores the
-                # single-gather packed_lookup_serving path
+                # layout asymmetry, measured round 4 (RESULTS.md "Super-row
+                # table layout"): the super layout wins the TRAINING dispatch
+                # 2.75× (in-scan big-operand gathers are the bottleneck
+                # there) but LOSES the out-of-scan serving forward (1.91 vs
+                # 1.39 ms/b8192 — the E-slice extraction re-reads the
+                # gathered 120-wide lines, while the flat single gather on
+                # per-field-distributed indices is already fast out-of-scan).
+                # Serving therefore defaults to layout="flat"; "super" stays
+                # available for A/B.
                 spec = deepfwfm.make_embedding_spec(cfg)
                 model = superpack.pack_params(jax.device_get(model), spec)
             lookup = (superpack.super_lookup
