@@ -144,27 +144,36 @@ def tpu_epoch(dirpath: str, feature_sizes, batch: int, k_steps: int,
     ones_k = jnp.ones((k_steps, batch), jnp.float32)
 
     group = batch * k_steps
-    stacked = {"xi": None}
     steps = 0
-    t0 = time.time()
-    buf = {"index": [], "value": [], "label": []}
-    have = 0
     loss = None
-    for b in p.epoch_batches(batch, seed=4, epoch=0):
-        for k in buf:
-            buf[k].append(b[k])
-        have += batch
-        if have < group:
-            continue
-        xi = np.concatenate(buf["index"]).reshape(k_steps, batch, -1)
-        xv = np.concatenate(buf["value"]).reshape(k_steps, batch, -1)
-        y = np.concatenate(buf["label"]).reshape(k_steps, batch)
-        buf = {k: [] for k in buf}
+
+    def grouped():
+        buf = {"index": [], "value": [], "label": []}
         have = 0
+        for b in p.epoch_batches(batch, seed=4, epoch=0):
+            for k in buf:
+                buf[k].append(b[k])
+            have += batch
+            if have < group:
+                continue
+            yield {
+                "xi": np.concatenate(buf["index"]).reshape(k_steps, batch, -1),
+                "xv": np.concatenate(buf["value"]).reshape(k_steps, batch, -1),
+                "y": np.concatenate(buf["label"]).reshape(k_steps, batch),
+            }
+            buf = {k: [] for k in buf}
+            have = 0
+
+    # the real trainer feed: H2D overlapped with compute (data/batching.
+    # prefetch_to_device) — a synchronous per-dispatch device_put through the
+    # remote tunnel measures the RTT, not the host pipeline (first round-4
+    # attempt: 250 dispatches x ~30 ms RTT swamped the 12 s step budget)
+    from xsdeepfwfm_deprecated_tpu.data.batching import prefetch_to_device
+    t0 = time.time()
+    for g in prefetch_to_device(grouped(), size=3):
         key, sub = jax.random.split(key)
         params, opt_state, loss = multi(
-            params, opt_state, jnp.asarray(xi), jnp.asarray(xv),
-            jnp.asarray(y), ones_k, sub, zeros_k)
+            params, opt_state, g["xi"], g["xv"], g["y"], ones_k, sub, zeros_k)
         steps += k_steps
         if steps >= max_steps:
             break

@@ -1,1 +1,1 @@
-from . import fwfm, int8_mlp  # noqa: F401
+from . import int8_mlp  # noqa: F401
