@@ -36,6 +36,8 @@ def main():
                     help="embedding-table layout (super = round-4 packed "
                          "128-lane lines, the trainer default; flat = the "
                          "logical (N, E) layout for A/B timing)")
+    ap.add_argument("--table-dtype", choices=["f32", "bf16"], default="f32",
+                    help="table+moment storage dtype (-table_dtype flag)")
     args = ap.parse_args()
 
     import time
@@ -49,6 +51,9 @@ def main():
     from xsdeepfwfm_deprecated_tpu.train.trainer import make_multi_step, make_optimizer
 
     cfg = _flagship(full_criteo=args.full_criteo)
+    if args.table_dtype != "f32":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, table_dtype=args.table_dtype)
     tcfg = TrainConfig(batch_size=args.batch, steps_per_call=args.k,
                        table_layout=args.layout)
     params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
@@ -92,6 +97,7 @@ def main():
         "unit": "examples/s",
         "step_ms": round(t * 1e3, 3),
         "layout": args.layout,
+        "table_dtype": args.table_dtype,
     }))
 
 

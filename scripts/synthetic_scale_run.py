@@ -146,7 +146,8 @@ def train_one(xi, xv, y, feature_sizes, n_test, args, *, deeplight: bool):
                        use_logit=args.lr_only, use_fm=False, use_ffm=False,
                        use_fwfm=not args.lr_only, use_deep=not args.lr_only,
                        use_lw=not args.lr_only, use_fwlw=not args.lr_only,
-                       quantization_aware=qat)
+                       quantization_aware=qat,
+                       table_dtype=getattr(args, "table_dtype", "f32"))
     # the paper's DeepLight recipes (README.md:87, paper.pdf §5.3): warm +
     # prune epochs, prune every 10 iters; Criteo D-90/R-90/F-40 via
     # sparse=0.9, emb_corr=1, emb_r=0.444; Avazu D-98/R-90/F-0 via
@@ -265,6 +266,8 @@ def main():
                     help="quantization-aware training (fake-quant deep MLP, "
                          "reference quantization.py:118-134); converts to "
                          "true int8 after fit and records both AUCs")
+    ap.add_argument("--table-dtype", choices=["f32", "bf16"], default="f32",
+                    help="table+moment storage dtype (-table_dtype flag)")
     ap.add_argument("--compare", action="store_true",
                     help="run dense AND deeplight on the same data; report gap")
     ap.add_argument("--warm", type=int, default=2)
