@@ -97,24 +97,50 @@ def analyze(out_dir: str, k: int):
                if e.get("ph") == "M" and e.get("name") == "thread_name"
                and e.get("args", {}).get("name") == "XLA Ops"
                and e["pid"] in dev_pids}
-    durs = collections.Counter()
-    total = 0.0
+    # EXCLUSIVE per-op time: `while`/`conditional` events span their whole
+    # body, so naive summing double-counts. Sort each lane's events and
+    # subtract the time covered by nested children.
+    lanes = collections.defaultdict(list)
     for e in ev:
         if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
-            name = e["name"].lower()
-            dur = float(e.get("dur", 0.0))   # microseconds
-            total += dur
-            for cat, keys in CATEGORIES:
-                if any(kk in name for kk in keys):
-                    durs[cat] += dur
-                    break
-            else:
-                durs["other:" + name.split(".")[0]] += dur
-    print(f"device XLA-op time in traced dispatch: {total/1e3:.3f} ms "
+            lanes[(e["pid"], e["tid"])].append(
+                (float(e["ts"]), float(e.get("dur", 0.0)), e["name"]))
+    durs = collections.Counter()
+    total = 0.0
+    for lane in lanes.values():
+        events = [(ts, ts + d, nm) for ts, d, nm in lane]
+        events.sort(key=lambda x: (x[0], -(x[1] - x[0])))
+        st = []
+        for s, e_, nm in events:
+            while st and st[-1][1] <= s + 1e-9:
+                fs, fe, fnm, cover = st.pop()
+                excl = max((fe - fs) - cover, 0.0)
+                _account2(durs, fnm, excl)
+                total += excl
+                if st:
+                    st[-1][3] += fe - fs
+            st.append([s, e_, nm, 0.0])
+        while st:
+            fs, fe, fnm, cover = st.pop()
+            excl = max((fe - fs) - cover, 0.0)
+            _account2(durs, fnm, excl)
+            total += excl
+            if st:
+                st[-1][3] += fe - fs
+    print(f"device XLA-op EXCLUSIVE time in traced dispatch: {total/1e3:.3f} ms "
           f"({total/1e3/k:.3f} ms/step over {k} steps)")
-    for cat, dur in durs.most_common(14):
+    for cat, dur in durs.most_common(16):
         print(f"  {cat:<28s} {dur/1e3:8.3f} ms  {100*dur/max(total,1e-9):5.1f}%")
     return durs, total
+
+
+def _account2(durs, name, excl):
+    nm = name.lower()
+    for cat, keys in CATEGORIES:
+        if any(kk in nm for kk in keys):
+            durs[cat] += excl
+            return
+    durs["other:" + nm.split(".")[0]] += excl
 
 
 def main():
