@@ -170,10 +170,12 @@ def tpu_epoch(dirpath: str, feature_sizes, batch: int, k_steps: int,
     # attempt: 250 dispatches x ~30 ms RTT swamped the 12 s step budget)
     from xsdeepfwfm_deprecated_tpu.data.batching import prefetch_to_device
     t0 = time.time()
+    last = None
     for g in prefetch_to_device(grouped(), size=3):
         key, sub = jax.random.split(key)
         params, opt_state, loss = multi(
             params, opt_state, g["xi"], g["xv"], g["y"], ones_k, sub, zeros_k)
+        last = g
         steps += k_steps
         if steps >= max_steps:
             break
@@ -185,8 +187,8 @@ def tpu_epoch(dirpath: str, feature_sizes, batch: int, k_steps: int,
     for _ in range(reps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = multi(
-            params, opt_state, jnp.asarray(xi), jnp.asarray(xv),
-            jnp.asarray(y), ones_k, sub, zeros_k)
+            params, opt_state, last["xi"], last["xv"], last["y"],
+            ones_k, sub, zeros_k)
     jax.device_get(jnp.sum(loss))
     step_s = (time.time() - t1) / (reps * k_steps)
     budget = steps * step_s

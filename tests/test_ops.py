@@ -251,3 +251,34 @@ def test_out_of_range_index_semantics_agree_across_regimes(rng):
             for b in range(48):
                 g_ref[o + np.clip(xi[b, f - num], 0, sizes[f] - 1)] += wg[b, f]
     np.testing.assert_allclose(np.asarray(g_pack), g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mlp_forward_3d_input_matches_flat(rng):
+    """The 3-D first-layer contraction equals the flattened path exactly in
+    eval mode (no dropout), with and without masks."""
+    import jax
+    net = mlp_ops.init_mlp(jax.random.PRNGKey(3), 6 * 5, [16, 16],
+                           head_scale=0.1)
+    x3 = jnp.asarray(rng.normal(size=(32, 6, 5)).astype(np.float32))
+    rates = (0.0, 0.0, 0.0)
+    flat = mlp_ops.mlp_forward(net, x3.reshape(32, -1), dropout_rates=rates)
+    got = mlp_ops.mlp_forward(net, x3, dropout_rates=rates)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(flat),
+                               rtol=1e-6, atol=1e-6)
+    masks = {"layers": [jnp.asarray((rng.random((30, 16)) > 0.5),
+                                    dtype=jnp.float32),
+                        jnp.ones((16, 16))],
+             "fc_w": jnp.ones((16, 1))}
+    flat_m = mlp_ops.mlp_forward(net, x3.reshape(32, -1), dropout_rates=rates,
+                                 masks=masks)
+    got_m = mlp_ops.mlp_forward(net, x3, dropout_rates=rates, masks=masks)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(flat_m),
+                               rtol=1e-6, atol=1e-6)
+    # gradients agree too (the training path)
+    g1 = jax.grad(lambda n: jnp.sum(mlp_ops.mlp_forward(
+        n, x3, dropout_rates=rates) ** 2))(net)
+    g2 = jax.grad(lambda n: jnp.sum(mlp_ops.mlp_forward(
+        n, x3.reshape(32, -1), dropout_rates=rates) ** 2))(net)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

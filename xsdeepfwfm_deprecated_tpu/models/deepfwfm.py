@@ -157,13 +157,20 @@ def forward(params: Dict, xi: jax.Array, xv: jax.Array, cfg: ModelConfig, *,
 
     x_deep = None
     if cfg.use_deep:
+        # deep input = concat of the 39 field embeddings (reference :398).
+        # The non-QAT tower takes the (B, F, E) tensor directly and fuses the
+        # flatten into its first-layer contraction (ops/mlp.py round-4: the
+        # materialized flatten of a lane-padded (B, F, 10) tensor cost
+        # ~0.4 ms/step); the QAT tower quantizes the flat activation vector,
+        # so it keeps the explicit reshape.
         if cfg.use_fm or cfg.use_fwfm:
-            deep_in = emb2.reshape(b, -1)                       # concat of field embeddings
+            deep3 = emb2
         elif cfg.use_ffm:
-            deep_in = jnp.sum(pair_emb, axis=2).reshape(b, -1)  # Σ_j e_{i,j} (reference :400)
+            deep3 = jnp.sum(pair_emb, axis=2)                   # Σ_j e_{i,j} (reference :400)
         else:
             emb2 = lookup(params["emb2"], spec, xi, xv)
-            deep_in = emb2.reshape(b, -1)
+            deep3 = emb2
+        deep_in = deep3.reshape(b, -1) if cfg.quantization_aware else deep3
         rates = (cfg.dropout_deep,) * (cfg.h_depth + 1) if cfg.is_deep_dropout else (0.0,) * (cfg.h_depth + 1)
         deep_fn = (mlp_ops.qat_mlp_forward if cfg.quantization_aware
                    else mlp_ops.mlp_forward)

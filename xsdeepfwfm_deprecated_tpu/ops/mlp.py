@@ -48,12 +48,35 @@ def mlp_forward(net: Dict, x: jax.Array, *, dropout_rates: Sequence[float],
                 train: bool = False, rng: Optional[jax.Array] = None,
                 masks: Optional[Dict] = None,
                 activation=jax.nn.relu) -> jax.Array:
-    """(B, in_dim) → (B, 1). ``dropout_rates`` has len(hidden)+1 entries:
-    rate[0] applies to the input, rate[i] after hidden layer i."""
+    """(B, in_dim) or (B, F, E) → (B, 1). ``dropout_rates`` has
+    len(hidden)+1 entries: rate[0] applies to the input, rate[i] after
+    hidden layer i.
+
+    A 3-D input contracts the FIRST layer directly over (F, E) —
+    mathematically identical to flattening (``x.reshape(B, -1) @ w``) but
+    avoids materializing the flatten: a (B, F, E=10) tensor is lane-padded
+    12.8× on TPU, and the train-step trace showed the flatten as a ~0.4 ms
+    physical reshape (round 4). Eval-mode output is bit-identical; in train
+    mode the input-dropout mask is drawn over the (B, F, E) shape (same
+    distribution/count, different RNG element mapping than the flat draw).
+    """
     n_layers = len(net["layers"])
     rngs = jax.random.split(rng, n_layers + 1) if (train and rng is not None) else [None] * (n_layers + 1)
     x = dropout(rngs[0], x, dropout_rates[0], train)
-    for i, layer in enumerate(net["layers"]):
+    start = 0
+    if x.ndim == 3:
+        w0 = net["layers"][0]["w"]
+        if masks is not None:
+            w0 = w0 * masks["layers"][0]
+        w0 = w0.reshape(x.shape[1], x.shape[2], -1)          # (F, E, H)
+        x = (jnp.einsum("bfe,feh->bh", x, w0,
+                        preferred_element_type=jnp.float32)
+             + net["layers"][0]["b"])
+        x = activation(x)
+        x = dropout(rngs[1], x, dropout_rates[1], train)
+        start = 1
+    for i in range(start, n_layers):
+        layer = net["layers"][i]
         w = layer["w"]
         if masks is not None:
             w = w * masks["layers"][i]
