@@ -48,9 +48,25 @@ np.random.seed({seed}); random.seed({seed}); torch.manual_seed({seed})
 
 from utils import data_preprocess
 from model import DeepFMs
-import logging
+import logging, re
 logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger("ref")
+
+# capture the reference's per-epoch "Validation [N] loss: L metric: A" lines
+# (DeepFMs.py:691-695) so the caller can compare full trajectories, not just
+# the final metric (round-4 NOTES #5: pin the post-peak divergence per epoch)
+class _TrajHandler(logging.Handler):
+    pat = re.compile(r"Validation \[(\d+)\] loss: ([\d.]+) metric: ([\d.]+)")
+    def __init__(self):
+        super().__init__(); self.rows = []
+    def emit(self, record):
+        m = self.pat.search(record.getMessage())
+        if m:
+            self.rows.append({{"epoch": int(m.group(1)),
+                              "loss": float(m.group(2)),
+                              "auc": float(m.group(3))}})
+_traj = _TrajHandler()
+logger.addHandler(_traj)
 
 synth = {synth!r}
 if synth:
@@ -108,7 +124,8 @@ model.fit(train['index'], train['value'], train['label'],
 loss, auc, prauc, rce = model.eval_by_batch(
     np.array(test['index']).reshape((-1, 26, 1)), np.array(test['value']),
     np.array(test['label']), len(test['label']))
-print("REFJSON " + json.dumps({{"loss": loss, "auc": auc, "prauc": prauc, "rce": rce}}))
+print("REFJSON " + json.dumps({{"loss": loss, "auc": auc, "prauc": prauc, "rce": rce,
+                                "trajectory": _traj.rows}}))
 '''
 
 
@@ -187,7 +204,9 @@ def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42,
             test["index"], test["value"], test["label"])
     loss, auc, prauc, rce = est.eval_by_batch(test["index"], test["value"],
                                               test["label"])
-    return {"loss": loss, "auc": auc, "prauc": prauc, "rce": rce}
+    return {"loss": loss, "auc": auc, "prauc": prauc, "rce": rce,
+            "trajectory": [{"epoch": i + 1, "auc": float(a)}
+                           for i, a in enumerate(est.valid_result)]}
 
 
 def main():
@@ -248,6 +267,20 @@ def main():
         print(f"reference (seed {seed}):", json.dumps(ref), flush=True)
         ours_runs.append(ours)
         ref_runs.append(ref)
+
+    # per-epoch trajectory comparison (NOTES round-4 #5): the final-epoch
+    # delta conflates semantics with overfit timing; the per-epoch deltas
+    # separate them. Only meaningful when both sides report trajectories.
+    if any(r.get("trajectory") for r in ours_runs):
+        n_ep = min(min((len(r.get("trajectory") or []) for r in ours_runs)),
+                   min((len(r.get("trajectory") or []) for r in ref_runs)))
+        if n_ep:
+            print("per-epoch valid AUC (mean over seeds):")
+            print(f"{'epoch':>5s} {'ours':>8s} {'torch':>8s} {'delta':>8s}")
+            for e in range(n_ep):
+                mo = sum(r["trajectory"][e]["auc"] for r in ours_runs) / len(ours_runs)
+                mr = sum(r["trajectory"][e]["auc"] for r in ref_runs) / len(ref_runs)
+                print(f"{e + 1:5d} {mo:8.4f} {mr:8.4f} {mo - mr:+8.4f}")
 
     import statistics as st
     mean = lambda runs, k: st.mean(r[k] for r in runs)
