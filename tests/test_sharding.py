@@ -591,3 +591,74 @@ def test_mesh_reshape_checkpoint_roundtrip(rng, tmp_path):
     m24 = np.array(est2.eval_by_batch(xi, xv, y))
     m42 = np.array(est3.eval_by_batch(xi, xv, y))
     np.testing.assert_allclose(m24, m42, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Shard-local super-row layout on the a2a-family exchanges (-mesh_table_layout)
+# ---------------------------------------------------------------------------
+
+def _packed_grid_table(dense, n_shards=8):
+    """Pack a logical (N, E) table into super-rows and pad the super-row
+    count to the shard multiple (what pack_params + pad_rows_for_mesh do)."""
+    from xsdeepfwfm_deprecated_tpu.ops import superpack
+    packed = superpack.pack_table(jnp.asarray(dense))
+    p = packed["packed"]
+    n2 = p.shape[0]
+    target = -(-n2 // n_shards) * n_shards
+    if target != n2:
+        p = jnp.concatenate([p, jnp.zeros((target - n2, p.shape[1]), p.dtype)], 0)
+    return {"packed": p, "edim": packed["edim"]}
+
+
+def test_grid_lookup_super_matches_dense(mesh, lookup_case):
+    """Super-row-packed grid exchange ≡ plain packed lookup (fwd + bwd)."""
+    from xsdeepfwfm_deprecated_tpu.ops import superpack
+    spec, tables, xi, xv = lookup_case
+    want = np.asarray(emb_ops.packed_lookup(tables, spec, xi, xv))
+
+    lookup = es.make_grid_lookup(mesh, spec)
+    pt = _packed_grid_table(tables["dense"])
+    pt_s = {"packed": jax.device_put(pt["packed"],
+                                     NamedSharding(mesh, P(es.GRID_AXES, None))),
+            "edim": jax.device_put(pt["edim"], NamedSharding(mesh, P()))}
+    s2, _ = es.a2a_batch_sharding(mesh)
+    xi_s = jax.device_put(xi, s2)
+    xv_s = jax.device_put(xv, s2)
+    got = np.asarray(jax.jit(lambda t, a, b: lookup({"dense": t}, spec, a, b))(
+        pt_s, xi_s, xv_s))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # backward: grad wrt the packed lines ≡ the packed/padded dense grad
+    def loss_super(p):
+        return jnp.sum(lookup({"dense": {"packed": p, "edim": pt_s["edim"]}},
+                              spec, xi_s, xv_s) ** 2)
+
+    def loss_dense(t):
+        return jnp.sum(emb_ops.packed_lookup({"dense": t}, spec, xi, xv) ** 2)
+
+    g_super = np.asarray(jax.jit(jax.grad(loss_super))(pt_s["packed"]))
+    g_dense = np.asarray(jax.grad(loss_dense)(tables["dense"]))
+    g_want = np.asarray(_packed_grid_table(g_dense)["packed"])
+    np.testing.assert_allclose(g_super, g_want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_kw", [
+    dict(mesh_data=4, mesh_model=2, exchange="a2a_grid"),
+    dict(mesh_data=4, mesh_model=2, exchange="a2a"),
+], ids=["grid-super", "a2a-super"])
+def test_fit_mesh_super_matches_single_device(rng, mesh_kw):
+    """-mesh_table_layout super trains through fit() with metrics identical
+    to single-device, and leaves the post-fit surface (predict on the mesh,
+    checkpoint in the logical layout) working."""
+    from xsdeepfwfm_deprecated_tpu.ops import superpack
+    from xsdeepfwfm_deprecated_tpu.train.trainer import DeepFMEstimator
+    mcfg, xi, xv, y = _pp_case(rng)
+    est_s, single = _fit_metrics(mcfg, xi, xv, y)
+    est_m, meshed = _fit_metrics(mcfg, xi, xv, y, mesh_table_layout="super",
+                                 **mesh_kw)
+    assert est_m.mesh is not None and est_m._lookup_fn is not None
+    np.testing.assert_allclose(meshed, single, rtol=2e-4, atol=2e-5)
+    # post-fit surface: tables are back in the flat layout (padded + sharded)
+    assert not superpack.params_are_packed(est_m.params)
+    p = est_m.predict_proba(xi[:64], xv[:64])
+    assert p.shape == (64,)

@@ -181,6 +181,15 @@ class TrainConfig:
                                      # a2a_grid (tables over the full grid, no
                                      # table-grad all-reduce — default) |
                                      # a2a | psum (model-axis exchanges)
+    mesh_table_layout: str = "flat"  # flat | super — shard-local table layout
+                                     # on the a2a-family exchanges. "super"
+                                     # packs each shard's rows into 128-lane
+                                     # lines (the single-device train-step win
+                                     # applied per shard); OPT-IN pending a
+                                     # real multi-chip measurement (virtual-
+                                     # mesh parity is tested; psum keeps flat
+                                     # — its identity-transpose exchange
+                                     # requires the plain-take gather).
     early_stopping: bool = False
     greater_is_better: bool = True
     eval_batch_size: int = 8192      # reference eval_by_batch (:760-763)
@@ -276,6 +285,11 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["a2a_grid", "a2a", "psum"],
                    help="Sharded embedding-lookup exchange (a2a_grid applies on "
                         "any multi-device mesh; a2a/psum need -mesh_model > 1)")
+    p.add_argument("-mesh_table_layout", default="flat", type=str,
+                   choices=["flat", "super"],
+                   help="Shard-local table layout for a2a-family exchanges "
+                        "(TPU extension; 'super' = 128-lane packed lines per "
+                        "shard, opt-in)")
     p.add_argument("-eval_train_rows", default=0, type=int,
                    help="Cap rows for the per-epoch train-metric eval "
                         "(TPU extension; 0 = full train set, reference behavior)")
@@ -336,6 +350,7 @@ def configs_from_args(pars, field_size: int, feature_sizes) -> Tuple[ModelConfig
         mesh_data=getattr(pars, "mesh_data", 1),
         mesh_model=getattr(pars, "mesh_model", 1),
         exchange=getattr(pars, "exchange", "a2a_grid"),
+        mesh_table_layout=getattr(pars, "mesh_table_layout", "flat"),
         eval_train_rows=getattr(pars, "eval_train_rows", 0),
         save_model_path=(pars.save_model_path if pars.save_model_path not in (0, "0") else None),
     )

@@ -91,16 +91,19 @@ def _tree_map_packed(fn, tree):
     return jax.tree.map(fn, tree, is_leaf=is_packed)
 
 
-def pack_params(params, spec: PackedEmbeddingSpec):
+def pack_params(params, spec: PackedEmbeddingSpec, only=None):
     """Pack every eligible table subdict ({"dense": (N, E)}) in a params
     pytree. QR (q/r) tables are packed with their own dims. Non-table leaves
-    pass through."""
+    pass through. ``only`` restricts packing to the named table keys — the
+    mesh-super path packs ``("dense",)`` only, because the sharded exchanges
+    keep the tiny q/r tables replicated in their flat layout
+    (:func:`..parallel.embedding_sharding.make_grid_lookup`)."""
 
     def pack_tables(node):
         if isinstance(node, dict) and "dense" in node and node["dense"].ndim == 2:
-            out = {"dense": pack_table(node["dense"])}
-            for key in ("q", "r"):
-                if key in node:
+            out = dict(node)
+            for key in ("dense", "q", "r"):
+                if key in node and (only is None or key in only):
                     out[key] = pack_table(node[key])
             return out
         return node
@@ -116,7 +119,8 @@ def unpack_params(params, spec: PackedEmbeddingSpec):
 
     def unpack_tables(node):
         if isinstance(node, dict) and "dense" in node and is_packed(node["dense"]):
-            return {key: unpack_table(t, rows[key]) for key, t in node.items()}
+            return {key: unpack_table(t, rows[key]) if is_packed(t) else t
+                    for key, t in node.items()}
         return node
 
     return jax.tree.map(

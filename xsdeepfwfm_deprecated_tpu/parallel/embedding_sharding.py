@@ -131,6 +131,63 @@ def a2a_lookup_local(table_local: jax.Array, gidx_local: jax.Array,
     return jnp.sum(recv, axis=0)                                   # (b, F, E)
 
 
+def a2a_lookup_local_super(ptable_local: jax.Array, gidx_local: jax.Array,
+                           k: int, e: int, axis_name=MODEL_AXIS) -> jax.Array:
+    """:func:`a2a_lookup_local` for a SUPER-ROW-packed table shard.
+
+    ``ptable_local``: this chip's contiguous block of (k·E)-wide super-row
+    lines (``ops/superpack.py`` layout — global super-rows are sharded, so a
+    logical row ``i`` lives on the chip owning super-row ``i // k``). The
+    gather moves the same 512-byte line a lane-padded (N, E) gather would
+    have, but the local scatter-add in the backward (and the Adam moment
+    chain outside) runs on the compact ≤7%-padded layout instead of the
+    12.8×-padded flat one — the same effect that took the single-device
+    train step 12.05 → 4.4 ms (RESULTS.md "Super-row table layout"),
+    applied per shard. Exchange volume is unchanged: the all-to-all carries
+    E-wide extracted vectors, not the raw lines.
+    """
+    m = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n2_local = ptable_local.shape[0]
+    all_idx = jax.lax.all_gather(gidx_local, axis_name)            # (M, b, F)
+    sup = all_idx // k
+    sub = all_idx - sup * k
+    lsup = sup - my * n2_local
+    valid = (lsup >= 0) & (lsup < n2_local)
+    lines = emb_ops.fast_take_rows(ptable_local,
+                                   jnp.clip(lsup, 0, n2_local - 1))
+    lines = lines.reshape(lines.shape[:-1] + (k, e))
+    oh = jax.nn.one_hot(sub, k, dtype=ptable_local.dtype)
+    # one-hot extraction: the measured-fast form for both directions (its
+    # autodiff backward is the one-hot expand + row scatter-add — the 2-D
+    # windowed-scatter alternative measured 283× slower, RESULTS.md
+    # "Super-row extraction/scatter variants")
+    got = jnp.einsum("...k,...ke->...e", oh, lines)
+    part = jnp.where(valid[..., None], got, jnp.zeros_like(got))
+    recv = jax.lax.all_to_all(part, axis_name, split_axis=0, concat_axis=0)
+    return jnp.sum(recv, axis=0)                                   # (b, F, E)
+
+
+def _super_exchange(mesh: Mesh, tables, gidx, table_axes, batch_axes):
+    """shard_map wiring shared by the a2a/a2a_grid packed-table paths.
+
+    ``table_axes``: the mesh axes the super-rows are sharded over (also the
+    exchange's collective axes); ``batch_axes``: the axes the batch is
+    sharded over (the a2a family shards the batch over BOTH mesh axes).
+    """
+    dense = tables["dense"]
+    e = dense["edim"].shape[0]
+    k = dense["packed"].shape[1] // e
+    exchange = shard_map(
+        partial(a2a_lookup_local_super, k=k, e=e, axis_name=table_axes),
+        mesh=mesh,
+        in_specs=(P(table_axes, None), P(batch_axes, None)),
+        out_specs=P(batch_axes, None, None),
+        check_vma=False,
+    )
+    return exchange(dense["packed"], gidx)
+
+
 def make_a2a_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
     """Drop-in lookup with batch sharded over BOTH mesh axes.
 
@@ -141,18 +198,26 @@ def make_a2a_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
     """
 
     def lookup(tables, spec_, xi: jax.Array, xv: jax.Array) -> jax.Array:
+        from ..ops import superpack
         raw, scale = emb_ops.build_indices(spec_, xi, xv)
         offs = jnp.asarray(spec_.dense_offsets, dtype=raw.dtype)[None, :]
-        gidx = jnp.clip(offs + raw, 0, tables["dense"].shape[0] - 1)
-
-        exchange = shard_map(
-            partial(a2a_lookup_local, axis_name=MODEL_AXIS),
-            mesh=mesh,
-            in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
-            out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
-            check_vma=False,
-        )
-        dense_emb = exchange(tables["dense"], gidx)
+        if superpack.is_packed(tables["dense"]):
+            d = tables["dense"]
+            n_logical = d["packed"].shape[0] * (
+                d["packed"].shape[1] // d["edim"].shape[0])
+            gidx = jnp.clip(offs + raw, 0, n_logical - 1)
+            dense_emb = _super_exchange(mesh, tables, gidx, MODEL_AXIS,
+                                        (DATA_AXIS, MODEL_AXIS))
+        else:
+            gidx = jnp.clip(offs + raw, 0, tables["dense"].shape[0] - 1)
+            exchange = shard_map(
+                partial(a2a_lookup_local, axis_name=MODEL_AXIS),
+                mesh=mesh,
+                in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
+                out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+                check_vma=False,
+            )
+            dense_emb = exchange(tables["dense"], gidx)
         if spec_.has_qr:
             qr_emb = emb_ops._qr_gather(tables, spec_, raw)  # replicated q/r
             mask = jnp.asarray(spec_.is_qr_field)[None, :, None]
@@ -227,18 +292,26 @@ def make_grid_lookup(mesh: Mesh, spec: PackedEmbeddingSpec):
     """
 
     def lookup(tables, spec_, xi: jax.Array, xv: jax.Array) -> jax.Array:
+        from ..ops import superpack
         raw, scale = emb_ops.build_indices(spec_, xi, xv)
         offs = jnp.asarray(spec_.dense_offsets, dtype=raw.dtype)[None, :]
-        gidx = jnp.clip(offs + raw, 0, tables["dense"].shape[0] - 1)
-
-        exchange = shard_map(
-            partial(a2a_lookup_local, axis_name=GRID_AXES),
-            mesh=mesh,
-            in_specs=(P(GRID_AXES, None), P(GRID_AXES, None)),
-            out_specs=P(GRID_AXES, None, None),
-            check_vma=False,
-        )
-        dense_emb = exchange(tables["dense"], gidx)
+        if superpack.is_packed(tables["dense"]):
+            d = tables["dense"]
+            n_logical = d["packed"].shape[0] * (
+                d["packed"].shape[1] // d["edim"].shape[0])
+            gidx = jnp.clip(offs + raw, 0, n_logical - 1)
+            dense_emb = _super_exchange(mesh, tables, gidx, GRID_AXES,
+                                        GRID_AXES)
+        else:
+            gidx = jnp.clip(offs + raw, 0, tables["dense"].shape[0] - 1)
+            exchange = shard_map(
+                partial(a2a_lookup_local, axis_name=GRID_AXES),
+                mesh=mesh,
+                in_specs=(P(GRID_AXES, None), P(GRID_AXES, None)),
+                out_specs=P(GRID_AXES, None, None),
+                check_vma=False,
+            )
+            dense_emb = exchange(tables["dense"], gidx)
         if spec_.has_qr:
             qr_emb = emb_ops._qr_gather(tables, spec_, raw)  # replicated q/r
             mask = jnp.asarray(spec_.is_qr_field)[None, :, None]

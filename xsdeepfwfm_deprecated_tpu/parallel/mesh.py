@@ -59,14 +59,20 @@ _TABLE_NAMES = ("emb1", "emb2", "ffm1", "ffm2")
 
 
 def _is_dense_table_path(path) -> bool:
-    """True for the packed dense-table leaf of any embedding group.
+    """True for the dense-table leaf of any embedding group.
 
     Matches both parameter pytrees (``emb2/dense``) and optimizer-state trees
     that mirror them (``0/mu/emb2/dense`` for Adam moments), so the same
-    pad/shard helpers apply to params and opt_state alike.
+    pad/shard helpers apply to params and opt_state alike. When the dense
+    table is in the super-row layout (``ops/superpack.py``) the shardable
+    leaf is ``emb2/dense/packed`` — its zero-size ``edim`` sibling stays
+    replicated (it carries no rows, only the static E marker).
     """
     names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
-    return bool(names) and names[-1] == "dense" and any(n in _TABLE_NAMES for n in names)
+    if not names or not any(n in _TABLE_NAMES for n in names):
+        return False
+    return (names[-1] == "dense"
+            or (names[-1] == "packed" and "dense" in names))
 
 
 def param_shardings(params: Dict, mesh: Mesh, table_axes=MODEL_AXIS) -> Dict:

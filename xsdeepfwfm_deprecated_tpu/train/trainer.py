@@ -309,9 +309,20 @@ class DeepFMEstimator:
     def use_super_layout(self) -> bool:
         """Super-row table packing applies on single-device (mesh-less) paths
         (``-table_layout super``, the default); mesh exchanges keep the flat
-        row-sharded layout."""
+        row-sharded layout unless :attr:`use_mesh_super_layout` opts in."""
         return (self.mesh is None
                 and getattr(self.tcfg, "table_layout", "super") == "super")
+
+    @property
+    def use_mesh_super_layout(self) -> bool:
+        """Opt-in (``-mesh_table_layout super``): shard-local super-row
+        packing on the a2a-family exchanges (``_batch_both`` excludes psum,
+        whose identity-transpose exchange requires the plain-take gather —
+        ``embedding_sharding.sharded_lookup_local``)."""
+        return (self.mesh is not None
+                and self._lookup_fn is not None
+                and self._batch_both
+                and getattr(self.tcfg, "mesh_table_layout", "flat") == "super")
 
     @property
     def forward_fn(self):
@@ -410,6 +421,16 @@ class DeepFMEstimator:
             spec = type(self).model_spec(self.mcfg)
             self.params = superpack.pack_params(self.params, spec)
             self.opt_state = superpack.pack_params(self.opt_state, spec)
+        # mesh-super (opt-in `-mesh_table_layout super`): pack the DENSE
+        # table only (q/r stay replicated flat for the exchanges' _qr_gather)
+        # BEFORE _shard_state pads/shards — super-rows are what gets sharded
+        if (self.use_mesh_super_layout
+                and not superpack.params_are_packed(self.params)):
+            spec = type(self).model_spec(self.mcfg)
+            self.params = superpack.pack_params(self.params, spec,
+                                                only=("dense",))
+            self.opt_state = superpack.pack_params(self.opt_state, spec,
+                                                   only=("dense",))
         n_shards = self._n_batch_shards()
         if n_shards > 1:
             if tc.batch_size % n_shards:
@@ -627,6 +648,12 @@ class DeepFMEstimator:
             self.params = superpack.unpack_params(self.params, spec)
             if self.opt_state is not None:
                 self.opt_state = superpack.unpack_params(self.opt_state, spec)
+            if self.mesh is not None:
+                # mesh-super runs: the post-fit surface still serves through
+                # the sharded exchange, which needs flat tables re-padded to
+                # the shard multiple and laid out on the mesh (jit retraces
+                # on the packed→flat pytree-structure change automatically)
+                self._shard_state()
 
         if do_prune:
             counts = deepfwfm.param_group_counts(self.params, self.mcfg, nonzero=True)
