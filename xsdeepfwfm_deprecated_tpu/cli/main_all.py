@@ -50,12 +50,16 @@ def main(argv=None):
 
     model = get_model(field_size=field_size, feature_sizes=train_dict["feature_sizes"],
                       pars=pars, logger=logger)
-    model.fit(train_dict["index"], train_dict["value"], train_dict["label"],
-              valid_dict["index"], valid_dict["value"], valid_dict["label"],
-              prune=bool(pars.prune), prune_fm=bool(pars.prune_fm),
-              prune_r=bool(pars.prune_r), prune_deep=bool(pars.prune_deep),
-              emb_r=pars.emb_r, emb_corr=pars.emb_corr,
-              early_stopping=False, save_path=save_model_name)
+    # -debug_nans 1: trap NaN/Inf from any jitted computation during fit
+    # (idiomatic JAX sanitizer — the reference has no counterpart, SURVEY §5.2)
+    from ..utils.debug import nan_debugging
+    with nan_debugging(bool(pars.debug_nans)):
+        model.fit(train_dict["index"], train_dict["value"], train_dict["label"],
+                  valid_dict["index"], valid_dict["value"], valid_dict["label"],
+                  prune=bool(pars.prune), prune_fm=bool(pars.prune_fm),
+                  prune_r=bool(pars.prune_r), prune_deep=bool(pars.prune_deep),
+                  emb_r=pars.emb_r, emb_corr=pars.emb_corr,
+                  early_stopping=False, save_path=save_model_name)
 
     # reload-for-measurement (reference main_all.py:56-63)
     model2 = get_model(field_size=field_size, feature_sizes=train_dict["feature_sizes"],

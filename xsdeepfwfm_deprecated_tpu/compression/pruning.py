@@ -127,8 +127,10 @@ def prune_params(params: Dict, adaptive_sparse: jax.Array, *,
             if isinstance(t, dict):
                 # super-row packed layout (ops/superpack.py): threshold over
                 # the packed values directly; the ≤(pack_factor−1)·E zero
-                # padding values of the last super-row are a ≤1e-5 fraction
-                # of a web-scale table and cannot move the bisection
+                # padding values of the last super-row — plus, on mesh-super
+                # runs, the ≤(shards−1) all-zero super-rows pad_rows_for_mesh
+                # appends — are a ≤1e-5 fraction of a web-scale table and
+                # cannot move the bisection
                 flats.append(t["packed"].ravel())
             else:
                 flats.append(real(k, t).ravel())

@@ -293,6 +293,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-eval_train_rows", default=0, type=int,
                    help="Cap rows for the per-epoch train-metric eval "
                         "(TPU extension; 0 = full train set, reference behavior)")
+    p.add_argument("-debug_nans", default=0, type=int,
+                   help="Trap NaN/Inf from any jitted computation during fit "
+                        "(TPU extension; jax_debug_nans via utils/debug.py — "
+                        "the reference has no sanitizers, SURVEY §5.2)")
     return p
 
 

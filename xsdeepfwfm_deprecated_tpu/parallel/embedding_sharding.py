@@ -115,7 +115,6 @@ def a2a_lookup_local(table_local: jax.Array, gidx_local: jax.Array,
     Each global row is owned by exactly one chip, so summing the received
     slots reconstructs the lookup exactly.
     """
-    m = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     rows_local = table_local.shape[0]
     all_idx = jax.lax.all_gather(gidx_local, axis_name)            # (M, b, F)
@@ -146,7 +145,6 @@ def a2a_lookup_local_super(ptable_local: jax.Array, gidx_local: jax.Array,
     applied per shard. Exchange volume is unchanged: the all-to-all carries
     E-wide extracted vectors, not the raw lines.
     """
-    m = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     n2_local = ptable_local.shape[0]
     all_idx = jax.lax.all_gather(gidx_local, axis_name)            # (M, b, F)

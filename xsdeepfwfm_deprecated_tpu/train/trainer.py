@@ -412,6 +412,14 @@ class DeepFMEstimator:
         # multi-chip: build the mesh, shard params + opt state, bind the
         # sharded lookup exchange into the forward
         self._setup_mesh()
+        if (self.mesh is not None
+                and getattr(tc, "mesh_table_layout", "flat") == "super"
+                and not self.use_mesh_super_layout):
+            # advisor r4: the opt-in flag silently did nothing here — say so
+            self._log("-mesh_table_layout super ignored: exchange "
+                      f"{self._exchange()!r} keeps the flat layout (psum's "
+                      "identity-transpose exchange, or a replicated-table "
+                      "degenerate mesh); training proceeds on flat tables")
         # single-device: repack tables (and the optimizer moments, which
         # mirror the params tree) into the super-row layout for the duration
         # of fit — ~12× less HBM traffic on every dense table pass and
