@@ -56,15 +56,21 @@ logger = logging.getLogger("ref")
 # (DeepFMs.py:691-695) so the caller can compare full trajectories, not just
 # the final metric (round-4 NOTES #5: pin the post-peak divergence per epoch)
 class _TrajHandler(logging.Handler):
-    pat = re.compile(r"Validation \[(\d+)\] loss: ([\d.]+) metric: ([\d.]+)")
+    # Validation line format (DeepFMs.py:691-695) — the sparse tail group is
+    # optional so dense-era logs without it still parse
+    pat = re.compile(r"Validation \[(\d+)\] loss: ([\d.]+) metric: ([\d.]+)"
+                     r"(?:.*?sparse ([\d.]+)%)?")
     def __init__(self):
         super().__init__(); self.rows = []
     def emit(self, record):
         m = self.pat.search(record.getMessage())
         if m:
-            self.rows.append({{"epoch": int(m.group(1)),
-                              "loss": float(m.group(2)),
-                              "auc": float(m.group(3))}})
+            row = {{"epoch": int(m.group(1)),
+                   "loss": float(m.group(2)),
+                   "auc": float(m.group(3))}}
+            if m.group(4) is not None:
+                row["sparsity"] = float(m.group(4))
+            self.rows.append(row)
 _traj = _TrajHandler()
 logger.addHandler(_traj)
 
@@ -116,11 +122,15 @@ FLAGS = {{
 model = DeepFMs.DeepFMs(field_size=39, feature_sizes=train['feature_sizes'],
     embedding_size={emb}, n_epochs={epochs}, verbose=False, use_cuda=False,
     use_ffm=False, batch_size={batch}, learning_rate={lr},
-    weight_decay=3e-7, momentum=0, sparse=0.9, warm=10, h_depth={depth},
+    weight_decay=3e-7, momentum=0, sparse={sparse}, warm={warm}, h_depth={depth},
     deep_nodes={nodes}, num_deeps=1, numerical=13, random_seed={seed}, logger=logger,
     **FLAGS)
+# pruned arm (VERDICT r4 #2): the reference's in-loop DeepLight pruning
+# (DeepFMs.py:647-674) — every 10 iters past warm, 3 groups, Omega=100
 model.fit(train['index'], train['value'], train['label'],
-          test['index'], test['value'], test['label'], early_stopping=False, save_path=None)
+          test['index'], test['value'], test['label'], early_stopping=False,
+          save_path=None, prune={prune}, prune_fm={prune}, prune_r={prune},
+          prune_deep={prune}, emb_r={emb_r}, emb_corr={emb_corr})
 loss, auc, prauc, rce = model.eval_by_batch(
     np.array(test['index']).reshape((-1, 26, 1)), np.array(test['value']),
     np.array(test['label']), len(test['label']))
@@ -130,7 +140,8 @@ print("REFJSON " + json.dumps({{"loss": loss, "auc": auc, "prauc": prauc, "rce":
 
 
 def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
-                  model="deepfwfm", seed=42, lr=1e-3, synth=None):
+                  model="deepfwfm", seed=42, lr=1e-3, synth=None,
+                  prune=0, sparse=0.9, warm=10, emb_r=0.444, emb_corr=1.0):
     os.makedirs(os.path.join(workdir, "data"), exist_ok=True)
     if synth is None:
         for f in ("tiny_train_input.csv", "tiny_test_input.csv"):
@@ -148,7 +159,8 @@ def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
     code = REF_RUNNER.format(ref=REFERENCE, workdir=workdir, rows=rows,
                              epochs=epochs, emb=emb, nodes=nodes, depth=depth,
                              batch=batch, model=model, seed=seed, lr=lr,
-                             synth=synth)
+                             synth=synth, prune=int(prune), sparse=sparse,
+                             warm=int(warm), emb_r=emb_r, emb_corr=emb_corr)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=4 * 3600,
                          env={**os.environ, "JAX_PLATFORMS": "cpu"})
@@ -160,7 +172,8 @@ def run_reference(workdir, epochs, rows, emb, nodes, depth, batch,
 
 
 def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42,
-             lr=1e-3, data=None):
+             lr=1e-3, data=None, prune=0, sparse=0.9, warm=10, emb_r=0.444,
+             emb_corr=1.0):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from xsdeepfwfm_deprecated_tpu.config import ModelConfig, TrainConfig
@@ -197,16 +210,24 @@ def run_ours(epochs, rows, emb, nodes, depth, batch, model="deepfwfm", seed=42,
     mcfg = ModelConfig(field_size=39, feature_sizes=tuple(train["feature_sizes"]),
                        numerical=13, embedding_size=emb, h_depth=depth,
                        deep_nodes=nodes, **base)
+    # steps_per_call=1 for the pruned golden: the K=1 path fires the prune
+    # refresh at exactly the reference's points (i%10==9 and the last batch)
     tcfg = TrainConfig(n_epochs=epochs, batch_size=batch, learning_rate=lr,
-                       weight_decay=3e-7, random_seed=seed)
+                       weight_decay=3e-7, random_seed=seed, sparse=sparse,
+                       warm=int(warm))
     est = DeepFMEstimator(mcfg, tcfg)
     est.fit(train["index"][:rows], train["value"][:rows], train["label"][:rows],
-            test["index"], test["value"], test["label"])
+            test["index"], test["value"], test["label"],
+            prune=bool(prune), prune_fm=bool(prune), prune_r=bool(prune),
+            prune_deep=bool(prune), emb_r=emb_r, emb_corr=emb_corr)
     loss, auc, prauc, rce = est.eval_by_batch(test["index"], test["value"],
                                               test["label"])
+    traj = [{"epoch": i + 1, "auc": float(a)}
+            for i, a in enumerate(est.valid_result)]
+    for i, s in enumerate(getattr(est, "epoch_sparsity", [])[:len(traj)]):
+        traj[i]["sparsity"] = float(s)
     return {"loss": loss, "auc": auc, "prauc": prauc, "rce": rce,
-            "trajectory": [{"epoch": i + 1, "auc": float(a)}
-                           for i, a in enumerate(est.valid_result)]}
+            "trajectory": traj}
 
 
 def main():
@@ -227,6 +248,14 @@ def main():
                          "rows instead of tiny-criteo (VERDICT r3 #2)")
     ap.add_argument("--synthetic-test", type=int, default=50000)
     ap.add_argument("--data-seed", type=int, default=0)
+    ap.add_argument("--prune", action="store_true",
+                    help="pruned head-to-head (VERDICT r4 #2): both frameworks "
+                         "run the in-loop DeepLight D-90/R-90/F-40 recipe "
+                         "(Omega=100 — the reference hardcodes it)")
+    ap.add_argument("--sparse", type=float, default=0.9)
+    ap.add_argument("--warm", type=int, default=1)
+    ap.add_argument("--emb-r", type=float, default=0.444)
+    ap.add_argument("--emb-corr", type=float, default=1.0)
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
 
@@ -254,16 +283,19 @@ def main():
               f"{args.synthetic_test} test rows, {sum(sizes):,} features, "
               f"oracle test AUC {oracle_auc(logit[te], y[te]):.4f}")
 
+    prune_kw = dict(prune=int(args.prune), sparse=args.sparse, warm=args.warm,
+                    emb_r=args.emb_r, emb_corr=args.emb_corr)
     ours_runs, ref_runs = [], []
     for seed in seeds:
         ours = run_ours(args.epochs, args.rows, args.emb, args.nodes,
                         args.depth, args.batch, args.model, seed, args.lr,
-                        data=data)
+                        data=data, **prune_kw)
         print(f"ours      (seed {seed}):", json.dumps(ours), flush=True)
         with tempfile.TemporaryDirectory() as wd:
             ref = run_reference(wd, args.epochs, args.rows, args.emb,
                                 args.nodes, args.depth, args.batch,
-                                args.model, seed, args.lr, synth=synth_npz)
+                                args.model, seed, args.lr, synth=synth_npz,
+                                **prune_kw)
         print(f"reference (seed {seed}):", json.dumps(ref), flush=True)
         ours_runs.append(ours)
         ref_runs.append(ref)
@@ -275,12 +307,29 @@ def main():
         n_ep = min(min((len(r.get("trajectory") or []) for r in ours_runs)),
                    min((len(r.get("trajectory") or []) for r in ref_runs)))
         if n_ep:
+            has_sp = all("sparsity" in r["trajectory"][0]
+                         for r in ours_runs + ref_runs)
             print("per-epoch valid AUC (mean over seeds):")
-            print(f"{'epoch':>5s} {'ours':>8s} {'torch':>8s} {'delta':>8s}")
+            hdr = f"{'epoch':>5s} {'ours':>8s} {'torch':>8s} {'delta':>8s}"
+            if has_sp:
+                hdr += f" {'oursSp%':>8s} {'torchSp%':>8s} {'dSp':>6s}"
+            print(hdr)
+            sp_deltas = []
             for e in range(n_ep):
                 mo = sum(r["trajectory"][e]["auc"] for r in ours_runs) / len(ours_runs)
                 mr = sum(r["trajectory"][e]["auc"] for r in ref_runs) / len(ref_runs)
-                print(f"{e + 1:5d} {mo:8.4f} {mr:8.4f} {mo - mr:+8.4f}")
+                line = f"{e + 1:5d} {mo:8.4f} {mr:8.4f} {mo - mr:+8.4f}"
+                if has_sp:
+                    so = sum(r["trajectory"][e]["sparsity"] for r in ours_runs) / len(ours_runs)
+                    sr = sum(r["trajectory"][e]["sparsity"] for r in ref_runs) / len(ref_runs)
+                    sp_deltas.append(abs(so - sr))
+                    line += f" {so:8.2f} {sr:8.2f} {so - sr:+6.2f}"
+                print(line)
+            if has_sp and args.prune:
+                # done-criterion (VERDICT r4 #2): matched-epoch sparsity
+                # within 1 percentage point at every epoch
+                print(f"max |sparsity delta|: {max(sp_deltas):.2f} pp "
+                      f"({'OK' if max(sp_deltas) <= 1.0 else 'DIVERGENT'})")
 
     import statistics as st
     mean = lambda runs, k: st.mean(r[k] for r in runs)

@@ -213,6 +213,7 @@ class DeepFMEstimator:
         self._step = 0
         self.train_result: list = []
         self.valid_result: list = []
+        self.epoch_sparsity: list = []
         self.last_epoch_mean_loss: float = float("nan")
         self.best_params: Optional[Dict] = None   # populated by fit(keep_best=True)
         self.best_epoch: int = -1
@@ -503,6 +504,10 @@ class DeepFMEstimator:
         n_iter = 0
         zeros_teacher = jnp.zeros((tc.batch_size,), jnp.float32)
         self.train_result, self.valid_result = [], []
+        # per-epoch total sparsity %, parallel to train_result/valid_result
+        # (the reference logs it on every epoch line, model/DeepFMs.py:678-699;
+        # recorded here so golden runs can compare sparsity TRAJECTORIES)
+        self.epoch_sparsity = []
 
         for epoch in range(start_epoch, tc.n_epochs):
             epoch_begin = time.time()
@@ -612,6 +617,7 @@ class DeepFMEstimator:
                 self.logger.debug("epoch %d mean train-step loss: %.6f"
                                   % (epoch + 1, mean_step_loss))
             rep = sparsity_report(self.params)
+            self.epoch_sparsity.append(rep["sparsity_pct"])
             self._log("Model parameters %d, sparse rate %.2f%%"
                       % (rep["nonzero"], rep["sparsity_pct"]))
             n_te = tc.eval_train_rows or Xi_train.shape[0]
