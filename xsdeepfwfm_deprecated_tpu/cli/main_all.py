@@ -53,13 +53,21 @@ def main(argv=None):
     # -debug_nans 1: trap NaN/Inf from any jitted computation during fit
     # (idiomatic JAX sanitizer — the reference has no counterpart, SURVEY §5.2)
     from ..utils.debug import nan_debugging
+    fit_args = (train_dict["index"], train_dict["value"], train_dict["label"],
+                valid_dict["index"], valid_dict["value"], valid_dict["label"])
+    fit_kwargs = dict(prune=bool(pars.prune), prune_fm=bool(pars.prune_fm),
+                      prune_r=bool(pars.prune_r), prune_deep=bool(pars.prune_deep),
+                      emb_r=pars.emb_r, emb_corr=pars.emb_corr,
+                      early_stopping=False)
     with nan_debugging(bool(pars.debug_nans)):
-        model.fit(train_dict["index"], train_dict["value"], train_dict["label"],
-                  valid_dict["index"], valid_dict["value"], valid_dict["label"],
-                  prune=bool(pars.prune), prune_fm=bool(pars.prune_fm),
-                  prune_r=bool(pars.prune_r), prune_deep=bool(pars.prune_deep),
-                  emb_r=pars.emb_r, emb_corr=pars.emb_corr,
-                  early_stopping=False, save_path=save_model_name)
+        if pars.auto_resume:
+            # -auto_resume N: supervised fit — transient device failures
+            # restart + resume from the per-epoch checkpoint (SURVEY §5.3)
+            from ..train.recovery import fit_with_recovery
+            fit_with_recovery(model, *fit_args, save_path=save_model_name,
+                              max_restarts=pars.auto_resume, **fit_kwargs)
+        else:
+            model.fit(*fit_args, save_path=save_model_name, **fit_kwargs)
 
     # reload-for-measurement (reference main_all.py:56-63)
     model2 = get_model(field_size=field_size, feature_sizes=train_dict["feature_sizes"],

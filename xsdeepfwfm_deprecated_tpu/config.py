@@ -293,6 +293,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-eval_train_rows", default=0, type=int,
                    help="Cap rows for the per-epoch train-metric eval "
                         "(TPU extension; 0 = full train set, reference behavior)")
+    p.add_argument("-auto_resume", default=0, type=int,
+                   help="Max automatic restarts of fit after a transient "
+                        "device/runtime failure, resuming from the per-epoch "
+                        "checkpoint (TPU extension; SURVEY §5.3 — the "
+                        "reference has no failure handling)")
     p.add_argument("-debug_nans", default=0, type=int,
                    help="Trap NaN/Inf from any jitted computation during fit "
                         "(TPU extension; jax_debug_nans via utils/debug.py — "

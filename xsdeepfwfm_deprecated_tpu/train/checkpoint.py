@@ -68,6 +68,12 @@ def _decode(data, key: str) -> Optional[np.ndarray]:
     return None
 
 
+def checkpoint_exists(path: str) -> bool:
+    """True if a checkpoint (npz or orbax directory) exists at ``path``."""
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    return os.path.exists(npz_path) or os.path.isdir(_orbax_dir(path))
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None, *,
                     step: int = 0, epoch: int = 0,
                     metadata: Optional[Dict] = None, sparse: bool = False,
