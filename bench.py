@@ -93,13 +93,23 @@ def main():
     from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit, scan_timeit
 
     cfg = _flagship(full_criteo=True)
-    # serving headline = the Predictor's product layout: FLAT single-gather
-    # (the super-row layout wins the training dispatch 2.75× but loses the
-    # out-of-scan serving forward — measured round 4, RESULTS.md "Super-row
-    # table layout"; reported here as the super_layout_* A/B field)
+    # serving headline = the Predictor's product layout: field-GROUPED
+    # gathers (round 5 — the gather knee is ~1 MB/lane-column regardless of
+    # dtype, so the packed table pre-splits into sub-knee field groups with
+    # no routing; same logits as the flat single gather, measured 1.37×
+    # lookup). Flat single-gather and the super-row layout are reported as
+    # A/B companions (super wins TRAINING 2.75× but loses out-of-scan
+    # serving — round 4).
     params = jax.device_put(deepfwfm.init_params(jax.random.PRNGKey(0), cfg))
     spec = deepfwfm.make_embedding_spec(cfg)
     params_super = jax.device_put(superpack.pack_params(params, spec))
+    from xsdeepfwfm_deprecated_tpu.ops.embedding import (
+        grouped_lookup_serving, split_serving_tables)
+    params_grouped = dict(params)
+    for key in ("emb1", "emb2"):
+        if key in params_grouped and "dense" in params_grouped[key]:
+            params_grouped[key] = split_serving_tables(params_grouped[key], spec)
+    params_grouped = jax.device_put(params_grouped)
     rng = np.random.default_rng(0)
     b = 8192
     K2 = 16
@@ -118,11 +128,29 @@ def main():
         return deepfwfm.forward(p, xi, xv, cfg,
                                 lookup_fn=superpack.super_lookup)
 
+    def fwd_grouped(p, xi, xv):
+        return deepfwfm.forward(p, xi, xv, cfg,
+                                lookup_fn=grouped_lookup_serving)
+
     # --- headline: marginal on-chip time per batch-8192 forward ------------
     # (shared protocol implementation — utils/profiling.marginal_timeit; a
     # local near-copy drifted from it in round 3, advisor finding)
-    dt_chip = marginal_timeit(fwd, params, inputs)
+    dt_flat = marginal_timeit(fwd, params, inputs)
+    dt_grouped = marginal_timeit(fwd_grouped, params_grouped, inputs)
     dt_super = marginal_timeit(fwd_super, params_super, inputs)  # layout A/B
+    # same logits either way — the headline is the faster measured layout
+    dt_chip = min(dt_flat, dt_grouped)
+
+    # --- int8 companion: grouped int8 tables + fused Pallas tower ----------
+    # (quality parity with fp32 proven at paper scale: AUC gap 0.00000,
+    # RESULTS.md "Fused-int8 AUC parity"; tables 2.9× smaller in HBM)
+    from xsdeepfwfm_deprecated_tpu.compression.quantization import (
+        convert, group_quantized_tables, quantized_forward)
+    qm = jax.device_put(group_quantized_tables(
+        convert(jax.device_get(params), cfg, mode="dynamic")))
+    fwd_int8 = lambda m, xi, xv: quantized_forward(m, xi, xv,  # noqa: E731
+                                                   use_fused_kernel=True)
+    dt_int8g = marginal_timeit(fwd_int8, qm, inputs)
 
     # --- cross-checks ------------------------------------------------------
     jfwd = jax.jit(fwd)
@@ -194,6 +222,10 @@ def main():
         "unit": "examples/s",
         "vs_baseline": round(examples_per_s / baseline, 2),
         "roofline_ok": roofline_ok,
+        "headline_layout": "grouped" if dt_grouped <= dt_flat else "flat",
+        "flat_examples_per_s": round(b / dt_flat, 1),
+        "grouped_examples_per_s": round(b / dt_grouped, 1),
+        "int8_grouped_examples_per_s": round(b / dt_int8g, 1),
         "scan_serialized_examples_per_s": round(b / dt_scan, 1),
         "pipelined_wall_examples_per_s": round(b / dt_wall, 1),
         "bigbatch_examples_per_s": round(big_rows / dt_big, 1),

@@ -66,3 +66,42 @@ def test_op_summary_quantized(served_model):
     p = Predictor(Q.convert(params, cfg, mode="dynamic"))
     res = op_summary(p, xi[:64], xv[:64], log=lambda *a: None)
     assert res["component_ms/Full forward"] > 0
+
+
+def test_grouped_serving_lookup_matches_flat(served_model, rng, monkeypatch):
+    """Round-5 grouped layout: split_serving_tables + grouped_lookup_serving
+    reproduce packed_lookup_serving exactly (incl. the per-field clip on
+    out-of-range indices), with the cap forced small enough to split."""
+    from xsdeepfwfm_deprecated_tpu.ops import embedding as emb
+    cfg, params, xi, xv, y = served_model
+    monkeypatch.setattr(emb, "SERVING_GROUP_LANE_BYTES", 200)  # ≤50 f32 rows
+    spec = deepfwfm.make_embedding_spec(cfg)
+    tables = params["emb2"]
+    xi_bad = xi.copy()
+    xi_bad[0] = [999, -3, 999]                  # exercise the per-field clip
+    want = np.asarray(emb.packed_lookup_serving(tables, spec, xi_bad, xv))
+    grouped = emb.split_serving_tables(tables, spec)
+    assert len(grouped["dense_groups"]) == 3    # 30/40/50-row fields split
+    got = np.asarray(emb.grouped_lookup_serving(grouped, spec, xi_bad, xv))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_predictor_grouped_layout_matches_flat(served_model, monkeypatch):
+    from xsdeepfwfm_deprecated_tpu.ops import embedding as emb
+    cfg, params, xi, xv, y = served_model
+    monkeypatch.setattr(emb, "SERVING_GROUP_LANE_BYTES", 200)
+    flat = Predictor(params, cfg).logits(xi, xv)
+    grouped = Predictor(params, cfg, layout="grouped").logits(xi, xv)
+    np.testing.assert_allclose(grouped, flat, rtol=1e-6, atol=1e-6)
+
+
+def test_predictor_quantized_grouped_matches_single(served_model, monkeypatch):
+    """int8 grouped layout (group_quantized_tables) ≡ the single-gather int8
+    path on in-range indices."""
+    from xsdeepfwfm_deprecated_tpu.ops import embedding as emb
+    cfg, params, xi, xv, y = served_model
+    monkeypatch.setattr(emb, "SERVING_GROUP_LANE_BYTES", 200)
+    qm = Q.convert(params, cfg, mode="dynamic")
+    single = Predictor(qm).logits(xi, xv)
+    grouped = Predictor(qm, layout="grouped").logits(xi, xv)
+    np.testing.assert_allclose(grouped, single, rtol=1e-5, atol=1e-5)

@@ -160,6 +160,31 @@ def calibrate(params: Dict, cfg: ModelConfig, xi: np.ndarray, xv: np.ndarray,
     return {"input": jnp.float32(scales[0]), "nets": nets}
 
 
+def group_quantized_tables(qm: QuantizedModel) -> QuantizedModel:
+    """Predictor-side transform to the GROUPED serving layout (round 5): each
+    dense int8 table splits into contiguous field-row groups under the gather
+    knee (~1 MB per lane column; ``ops.embedding.serving_field_groups``) —
+    measured 3.2× on the full-Criteo int8 lookup
+    (``scripts/measure_grouped_gather.py``). No-op for QR/FFM configs."""
+    from dataclasses import replace
+    spec = deepfwfm.make_embedding_spec(qm.cfg)
+    if spec.has_qr or qm.cfg.use_ffm:
+        return qm
+
+    def split(tq):
+        if tq is None or "dense" not in tq or "qs" not in tq["dense"]:
+            return tq
+        qs = tq["dense"]["qs"]
+        groups = emb_ops.serving_field_groups(spec, 1)
+        new = dict(tq)
+        new["dense"] = {"qs_num": qs[:spec.numerical],
+                        "qs_groups": tuple(qs[rlo:rhi]
+                                           for _, _, rlo, rhi in groups)}
+        return new
+
+    return replace(qm, emb1_q=split(qm.emb1_q), emb2_q=split(qm.emb2_q))
+
+
 def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
                       use_fused_kernel: bool = False) -> jax.Array:
     """Serving forward on the int8 path. Mirrors
@@ -187,6 +212,24 @@ def quantized_forward(qm: QuantizedModel, xi: jax.Array, xv: jax.Array,
         num = spec.numerical
         assert all(n == 1 for n in spec.feature_sizes[:num])
         dq = tables_q["dense"]
+        if "qs_groups" in dq:
+            # grouped layout (group_quantized_tables): G sub-knee gathers —
+            # 1.077 → 0.340 ms on the full-Criteo lookup (RESULTS.md round 5)
+            groups = emb_ops.serving_field_groups(spec, 1)
+            parts = []
+            if num:
+                rows, sc = q_ops.unpack_qs(dq["qs_num"])
+                parts.append((rows * sc)[None] * xv[..., None])
+            xi_c = emb_ops._clip_per_field(xi, spec.feature_sizes[num:])
+            outs = []
+            for (flo, fhi, rlo, rhi), sub in zip(groups, dq["qs_groups"]):
+                offs = jnp.asarray(
+                    [o - rlo for o in spec.dense_offsets[num + flo:num + fhi]],
+                    xi.dtype)[None, :]
+                idx = jnp.clip(xi_c[:, flo:fhi] + offs, 0, sub.shape[0] - 1)
+                outs.append(q_ops.gather_dequant({"qs": sub}, idx))
+            parts.append(jnp.concatenate(outs, axis=1))
+            return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         parts = []
         if num:
             rows, sc = q_ops.unpack_qs(jax.lax.slice_in_dim(dq["qs"], 0, num, axis=0))

@@ -484,6 +484,82 @@ def packed_lookup_serving(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpe
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
+# Serving-gather field grouping (round 5). The gather fast path's knee sits
+# at ~1 MB of PER-LANE-COLUMN bytes (rows × itemsize) regardless of dtype
+# (measured, scripts/reconcile_int8_gather.py): below it rows fetch at
+# ~1.4-1.9 ns, above at ~4.1-4.9 ns. Serving indices are per-field, so the
+# packed table splits into contiguous FIELD GROUPS each under the knee with
+# no routing or masking. Measured optimum cap 0.45 MB
+# (scripts/measure_grouped_gather.py: f32 0.796 → 0.583 ms per 8192×26
+# lookup, int8 1.077 → 0.340 ms — 3.2×).
+SERVING_GROUP_LANE_BYTES = 450_000
+
+
+def serving_field_groups(spec: PackedEmbeddingSpec, itemsize: int,
+                         cap_bytes: int = None):
+    """Greedy contiguous categorical-field groups whose packed-row spans hold
+    ≤ ``cap_bytes`` per lane column (a single larger-than-cap field gets its
+    own group; default cap = module ``SERVING_GROUP_LANE_BYTES``, resolved at
+    call time so tests can force multi-group splits on tiny tables). Returns
+    ``[(f_lo, f_hi, row_lo, row_hi), ...]`` with field indices relative to
+    the categorical block and rows into the packed dense table. Non-QR specs
+    only (QR fields have no dense rows to split)."""
+    if cap_bytes is None:
+        cap_bytes = SERVING_GROUP_LANE_BYTES
+    assert not spec.has_qr, "grouped serving layout supports non-QR specs"
+    num = spec.numerical
+    sizes = spec.feature_sizes[num:]
+    offs = spec.dense_offsets[num:]
+    groups, start, acc = [], 0, 0
+    for f, s in enumerate(sizes):
+        if acc and (acc + s) * itemsize > cap_bytes:
+            groups.append((start, f, offs[start], offs[start] + acc))
+            start, acc = f, 0
+        acc += s
+    groups.append((start, len(sizes), offs[start], offs[start] + acc))
+    return groups
+
+
+def split_serving_tables(tables: Dict[str, jax.Array],
+                         spec: PackedEmbeddingSpec) -> Dict[str, jax.Array]:
+    """Pre-split a serving tables dict into the GROUPED layout:
+    ``{'dense_num': (num, E), 'dense_groups': ((rows_g, E), ...)}`` — one
+    device buffer per group so every gather's operand sits under the knee.
+    (Splitting inside jit would make XLA re-slice the 53 MB table per call;
+    the Predictor splits once at construction.)"""
+    dense = tables["dense"]
+    groups = serving_field_groups(spec, dense.dtype.itemsize)
+    return {"dense_num": dense[:spec.numerical],
+            "dense_groups": tuple(dense[rlo:rhi] for _, _, rlo, rhi in groups)}
+
+
+def grouped_lookup_serving(tables: Dict[str, jax.Array],
+                           spec: PackedEmbeddingSpec,
+                           xi: jax.Array, xv: jax.Array) -> jax.Array:
+    """:func:`packed_lookup_serving` on the grouped layout — identical
+    semantics (same per-field clip, same numeric static rows), G sub-knee
+    gathers instead of one over-knee gather. 1.37× (f32) / 3.2× (int8) on
+    the full-Criteo lookup, measured (RESULTS.md round 5)."""
+    num = spec.numerical
+    assert all(n == 1 for n in spec.feature_sizes[:num]), \
+        "numeric fields must be leading single-row slots"
+    subs = tables["dense_groups"]
+    groups = serving_field_groups(spec, subs[0].dtype.itemsize)
+    xi = _clip_per_field(xi, spec.feature_sizes[num:])
+    parts = []
+    if num:
+        parts.append(xv[..., None] * tables["dense_num"][None])
+    outs = []
+    for (flo, fhi, rlo, rhi), sub in zip(groups, subs):
+        local_offs = jnp.asarray(
+            [o - rlo for o in spec.dense_offsets[num + flo:num + fhi]],
+            xi.dtype)[None, :]
+        idx = jnp.clip(xi[:, flo:fhi] + local_offs, 0, sub.shape[0] - 1)
+        outs.append(jnp.take(sub, idx, axis=0))
+    parts.append(jnp.concatenate(outs, axis=1).astype(xv.dtype))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 def _qr_gather(tables: Dict[str, jax.Array], spec: PackedEmbeddingSpec,
                raw: jax.Array) -> jax.Array:
     """Quotient/remainder split + combine (reference ``QREmbeddingBag:156-174``).

@@ -34,6 +34,9 @@ class Predictor:
             self._fn = jax.jit(compact_forward)
         elif isinstance(model, QuantizedModel):
             self.cfg = model.cfg
+            if layout == "grouped":
+                from ..compression.quantization import group_quantized_tables
+                model = group_quantized_tables(model)
             self._model = jax.device_put(model)
             fused = (jax.default_backend() == "tpu" and model.act_scales is None
                      and model.deep_q is not None)
@@ -59,6 +62,20 @@ class Predictor:
             lookup = (superpack.super_lookup
                       if superpack.params_are_packed(model)
                       else packed_lookup_serving)
+            if layout == "grouped" and not cfg.use_ffm and not cfg.qr_flag:
+                # round-5 measured layout: the gather knee is ~1 MB of
+                # per-lane-column bytes, so the packed table is pre-split
+                # into contiguous field groups each under the knee — same
+                # logits, G sub-knee gathers (RESULTS.md "Field-grouped
+                # serving gather")
+                from ..ops.embedding import (grouped_lookup_serving,
+                                             split_serving_tables)
+                spec = deepfwfm.make_embedding_spec(cfg)
+                model = dict(model)
+                for key in ("emb1", "emb2"):
+                    if key in model and "dense" in model[key]:
+                        model[key] = split_serving_tables(model[key], spec)
+                lookup = grouped_lookup_serving
             self._model = jax.device_put(model)
             self._fn = jax.jit(lambda p, xi, xv: deepfwfm.forward(
                 p, xi, xv, cfg, lookup_fn=lookup))
