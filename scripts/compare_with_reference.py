@@ -303,6 +303,7 @@ def main():
     # per-epoch trajectory comparison (NOTES round-4 #5): the final-epoch
     # delta conflates semantics with overfit timing; the per-epoch deltas
     # separate them. Only meaningful when both sides report trajectories.
+    traj_ok = None   # two-sided trajectory invariant (VERDICT r4 weak #6)
     if any(r.get("trajectory") for r in ours_runs):
         n_ep = min(min((len(r.get("trajectory") or []) for r in ours_runs)),
                    min((len(r.get("trajectory") or []) for r in ref_runs)))
@@ -330,6 +331,22 @@ def main():
                 # within 1 percentage point at every epoch
                 print(f"max |sparsity delta|: {max(sp_deltas):.2f} pp "
                       f"({'OK' if max(sp_deltas) <= 1.0 else 'DIVERGENT'})")
+            # TRUE parity invariant (VERDICT r4 weak #6): the one-sided
+            # final-epoch band is a deployment criterion, not a parity one —
+            # the divergence it tolerates is overfit timing. The asserted
+            # invariant is TWO-SIDED agreement where semantics dominate:
+            # epoch 1 (identical recipe, pre-overfit) and each side's own
+            # valid-AUC peak (what per-epoch checkpointing deploys).
+            e1 = (sum(r["trajectory"][0]["auc"] for r in ours_runs) / len(ours_runs)
+                  - sum(r["trajectory"][0]["auc"] for r in ref_runs) / len(ref_runs))
+            pk = (sum(max(t["auc"] for t in r["trajectory"]) for r in ours_runs) / len(ours_runs)
+                  - sum(max(t["auc"] for t in r["trajectory"]) for r in ref_runs) / len(ref_runs))
+            traj_ok = abs(e1) <= 0.005 and abs(pk) <= 0.005
+            if has_sp and args.prune:
+                traj_ok = traj_ok and max(sp_deltas) <= 1.0
+            print(f"trajectory parity: epoch-1 delta {e1:+.4f}, "
+                  f"peak delta {pk:+.4f} (two-sided ±0.005 band: "
+                  f"{'OK' if traj_ok else 'DIVERGENT'})")
 
     import statistics as st
     mean = lambda runs, k: st.mean(r[k] for r in runs)
@@ -354,6 +371,12 @@ def main():
         # ±0.17 with init variance for shallow models on tiny data (both
         # directions observed), so it gets a wide band.
         ok = d_auc > -0.03 and d_loss < 0.2
+    if traj_ok is not None and args.synthetic_rows:
+        # the trajectory invariant is PRIMARY at scale (weak #6): the
+        # final-epoch band alone can pass on overfit-timing luck. On the 10k
+        # tiny-criteo substrate the ±0.005 band is inside seed noise
+        # (PARITY.md multi-seed: ±0.008 std), so there it prints advisory.
+        ok = ok and traj_ok
     print("PARITY OK" if ok else "PARITY DIVERGENT")
     if synth_dir:
         import shutil
