@@ -108,11 +108,14 @@ def op_summary(predictor: Predictor, bxi: np.ndarray, bxv: np.ndarray,
 
         if "emb2" in model:
             from ..ops import superpack
-            # super_lookup serves both the super-row layout (Predictor
-            # default) and the flat layout (falls through to packed_lookup)
-            lk = (superpack.super_lookup
-                  if superpack.params_are_packed(model)
-                  else emb_ops.packed_lookup_serving)
+            # pick the lookup matching the Predictor's chosen layout:
+            # grouped (product default, round 5), super-row, or flat
+            if "dense_groups" in model["emb2"]:
+                lk = emb_ops.grouped_lookup_serving
+            elif superpack.params_are_packed(model):
+                lk = superpack.super_lookup
+            else:
+                lk = emb_ops.packed_lookup_serving
             f_lookup = lambda p, xi, xv: lk(p["emb2"], spec, xi, xv)
             rows.append(("Embedding lookup (packed gather)",
                          _marg(f_lookup, [(x, xv_d) for x in _rolled(xi_d)])))

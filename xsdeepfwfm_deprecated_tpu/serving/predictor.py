@@ -24,7 +24,7 @@ class Predictor:
     batch or single-example."""
 
     def __init__(self, model: Union[Dict, QuantizedModel, CompactModel],
-                 cfg: Optional[ModelConfig] = None, layout: str = "flat"):
+                 cfg: Optional[ModelConfig] = None, layout: str = "auto"):
         # the model is always a jitted-function ARGUMENT, never a closure —
         # closed-over multi-MB arrays become graph constants (minutes of
         # compile, ~80x slower dispatch; measured, see RESULTS.md)
@@ -34,7 +34,10 @@ class Predictor:
             self._fn = jax.jit(compact_forward)
         elif isinstance(model, QuantizedModel):
             self.cfg = model.cfg
-            if layout == "grouped":
+            if layout in ("auto", "grouped"):
+                # product default (round 5): field-grouped sub-knee tables,
+                # measured 3.2× on the int8 lookup; group_quantized_tables
+                # is a no-op for QR/FFM configs
                 from ..compression.quantization import group_quantized_tables
                 model = group_quantized_tables(model)
             self._model = jax.device_put(model)
@@ -55,19 +58,25 @@ class Predictor:
                 # 1.39 ms/b8192 — the E-slice extraction re-reads the
                 # gathered 120-wide lines, while the flat single gather on
                 # per-field-distributed indices is already fast out-of-scan).
-                # Serving therefore defaults to layout="flat"; "super" stays
+                # Serving therefore never auto-selects "super"; it stays
                 # available for A/B.
                 spec = deepfwfm.make_embedding_spec(cfg)
                 model = superpack.pack_params(jax.device_get(model), spec)
             lookup = (superpack.super_lookup
                       if superpack.params_are_packed(model)
                       else packed_lookup_serving)
-            if layout == "grouped" and not cfg.use_ffm and not cfg.qr_flag:
-                # round-5 measured layout: the gather knee is ~1 MB of
+            groupable = (not cfg.use_ffm and not cfg.qr_flag
+                         and not superpack.params_are_packed(model)
+                         and any(key in model and "dense" in model[key]
+                                 for key in ("emb1", "emb2")))
+            if layout in ("auto", "grouped") and groupable:
+                # PRODUCT DEFAULT (round 5): the gather knee is ~1 MB of
                 # per-lane-column bytes, so the packed table is pre-split
                 # into contiguous field groups each under the knee — same
-                # logits, G sub-knee gathers (RESULTS.md "Field-grouped
-                # serving gather")
+                # logits, G sub-knee gathers; beat flat 1.67× end-to-end in
+                # bench.py's A/B (9.69M vs 5.82M ex/s). "auto" selects it
+                # whenever the model is an unpacked dense-dict (QR/FFM/super
+                # keep flat). RESULTS.md "Field-grouped serving gather".
                 from ..ops.embedding import (grouped_lookup_serving,
                                              split_serving_tables)
                 spec = deepfwfm.make_embedding_spec(cfg)
