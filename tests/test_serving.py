@@ -90,7 +90,7 @@ def test_predictor_grouped_layout_matches_flat(served_model, monkeypatch):
     from xsdeepfwfm_deprecated_tpu.ops import embedding as emb
     cfg, params, xi, xv, y = served_model
     monkeypatch.setattr(emb, "SERVING_GROUP_LANE_BYTES", 200)
-    flat = Predictor(params, cfg).logits(xi, xv)
+    flat = Predictor(params, cfg, layout="flat").logits(xi, xv)
     grouped = Predictor(params, cfg, layout="grouped").logits(xi, xv)
     np.testing.assert_allclose(grouped, flat, rtol=1e-6, atol=1e-6)
 
@@ -102,6 +102,32 @@ def test_predictor_quantized_grouped_matches_single(served_model, monkeypatch):
     cfg, params, xi, xv, y = served_model
     monkeypatch.setattr(emb, "SERVING_GROUP_LANE_BYTES", 200)
     qm = Q.convert(params, cfg, mode="dynamic")
-    single = Predictor(qm).logits(xi, xv)
+    single = Predictor(qm, layout="flat").logits(xi, xv)
     grouped = Predictor(qm, layout="grouped").logits(xi, xv)
     np.testing.assert_allclose(grouped, single, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_auto_layout_selection(served_model, monkeypatch):
+    """layout='auto' (the default) selects the grouped split for unpacked
+    dense-dict models and falls back to flat for QR configs
+    (serving/predictor.py round-5 product default)."""
+    import dataclasses
+
+    from xsdeepfwfm_deprecated_tpu.ops import embedding as emb
+    cfg, params, xi, xv, y = served_model
+    monkeypatch.setattr(emb, "SERVING_GROUP_LANE_BYTES", 200)
+    p = Predictor(params, cfg)                       # auto → grouped
+    assert "dense_groups" in p._model["emb2"]
+    np.testing.assert_allclose(
+        p.logits(xi, xv),
+        Predictor(params, cfg, layout="flat").logits(xi, xv),
+        rtol=1e-6, atol=1e-6)
+    qcfg = dataclasses.replace(cfg, qr_flag=True, qr_collisions=2,
+                               qr_threshold=35)
+    qparams = deepfwfm.init_params(jax.random.PRNGKey(1), qcfg)
+    pq = Predictor(qparams, qcfg)                    # auto → flat (QR)
+    assert "dense_groups" not in pq._model["emb2"]
+    # int8: auto groups too
+    qm = Q.convert(params, cfg, mode="dynamic")
+    pg = Predictor(qm)
+    assert "qs_groups" in pg._model.emb2_q["dense"]
