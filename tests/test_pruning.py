@@ -34,6 +34,30 @@ def test_bisection_threshold_matches_quantile_large():
         assert abs(thr_b - thr_q) < 1e-4
 
 
+def test_bisection_resolves_collapsed_row_cluster():
+    """Round-5 regression (200k pruned golden): never-sampled embedding rows
+    decay under Adam+L2 to |w| ~ 1e-18..1e-31; a LINEAR 40-halving bisection
+    (resolution floor max·2⁻⁴⁰ ≈ 5e-13) returned a threshold ABOVE the whole
+    cluster and wiped 80% of rows when the schedule asked for 2% (sparsity
+    trajectory exploded vs torch, PARITY.md). The log-space bisection must
+    land the threshold INSIDE the cluster and prune only the target."""
+    rng = np.random.default_rng(3)
+    n = pruning.BISECT_SIZE * 4
+    w = rng.normal(size=(n,)).astype(np.float32) * 0.01
+    # 80% collapsed cluster spanning the magnitudes observed at epochs 4-6
+    k = int(n * 0.8)
+    w[:k] = (np.abs(rng.normal(size=(k,))) + 0.1) * np.float32(1e-20)
+    w64 = np.abs(w).astype(np.float64)
+    for target in [0.02, 0.30, 0.79]:
+        thr = float(pruning.magnitude_threshold(jnp.asarray(w),
+                                                jnp.float32(target)))
+        frac = float(np.mean(w64 < thr))
+        assert abs(frac - target) < 1e-3, (target, frac, thr)
+        # the 2%-target threshold must sit INSIDE the collapsed cluster
+        if target < 0.8:
+            assert thr < 5e-18, thr
+
+
 def test_zero_target_prunes_nothing():
     """emb_r=0 (the paper's Avazu F-0 recipe) must leave the group untouched,
     including tiny Adam+L2-parked values ~1e-31 on never-sampled rows."""

@@ -54,19 +54,34 @@ BISECT_ITERS = 40
 
 def _bisect_threshold(absw: jax.Array, target: jax.Array) -> jax.Array:
     """Reference ``binary_search_threshold`` (``model/DeepFMs.py:807-823``):
-    halve [lo, hi] on the pruned fraction ``mean(|w| < mid)`` vs target."""
-    hi = jnp.max(absw)
-    lo = jnp.zeros_like(hi)
+    halve [lo, hi] on the pruned fraction ``mean(|w| < mid)`` vs target.
+
+    Halving happens in LOG-magnitude space (round-5 fix). Never-sampled
+    embedding rows decay under Adam+L2 at ~6%/step (the L2 gradient is their
+    only gradient and Adam normalizes it), so by a few hundred post-warm
+    steps they cluster at |w| ~ 1e-18..1e-31. A LINEAR 40-halving search has
+    a resolution floor of ``max·2⁻⁴⁰ ≈ 5e-13`` — every representable
+    threshold sits ABOVE that cluster, so the search wiped it wholesale
+    (measured on the 200k pruned golden: total sparsity exploded 1% → 35% →
+    75% in epochs 4→6 while the schedule asked for 2-4%; the reference's
+    100-iteration linear search resolves to ~8e-29 and prunes only the
+    target fraction — trajectories diverged). Geometric halving of
+    [max·2⁻¹²⁰, max] reaches any f32-normal threshold in the same 40
+    bandwidth passes: after 40 iters the log2-range is 120·2⁻⁴⁰ ≈ 1e-10,
+    i.e. exact-quantile resolution everywhere in the magnitude spectrum."""
+    hi = jnp.maximum(jnp.max(absw), jnp.float32(1e-30))
+    log_hi = jnp.log(hi)
+    log_lo = log_hi + jnp.float32(-120.0 * 0.6931472)   # hi·2⁻¹²⁰
 
     def body(_, lohi):
         lo, hi = lohi
         mid = 0.5 * (lo + hi)
-        frac = jnp.mean((absw < mid).astype(jnp.float32))
+        frac = jnp.mean((absw < jnp.exp(mid)).astype(jnp.float32))
         go_up = frac < target
         return (jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid))
 
-    lo, hi = jax.lax.fori_loop(0, BISECT_ITERS, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    log_lo, log_hi = jax.lax.fori_loop(0, BISECT_ITERS, body, (log_lo, log_hi))
+    return jnp.exp(0.5 * (log_lo + log_hi))
 
 
 def magnitude_threshold(w: jax.Array, target_sparsity: jax.Array) -> jax.Array:
