@@ -37,8 +37,13 @@ def serving_ms(est, Xi, Xv, b=8192):
     from xsdeepfwfm_deprecated_tpu.serving.predictor import Predictor
     from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit
     pred = Predictor(est.params, est.mcfg)
-    inputs = [(jnp.asarray(Xi[i * b:(i + 1) * b]),
-               jnp.asarray(Xv[i * b:(i + 1) * b])) for i in range(16)]
+    # modulo windows — 16 FULL distinct batches (see qr_scale_run, r5 audit)
+    import numpy as _np
+    n = len(Xi)
+    inputs = []
+    for i in range(16):
+        sl = _np.arange(i * b, (i + 1) * b) % n
+        inputs.append((jnp.asarray(Xi[sl]), jnp.asarray(Xv[sl])))
     return marginal_timeit(pred._fn, pred._model, inputs, reps=5) * 1e3
 
 

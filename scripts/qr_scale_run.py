@@ -84,8 +84,14 @@ def serving_m_ex_s(est, Xi, Xv, b=8192):
     from xsdeepfwfm_deprecated_tpu.serving.predictor import Predictor
     from xsdeepfwfm_deprecated_tpu.utils.profiling import marginal_timeit
     pred = Predictor(est.params, est.mcfg)
-    inputs = [(jnp.asarray(Xi[i * b:(i + 1) * b]),
-               jnp.asarray(Xv[i * b:(i + 1) * b])) for i in range(16)]
+    # modulo windows: 16 FULL distinct b-row batches even when len(Xi) < 16·b
+    # (the old [i*b:(i+1)*b] slicing went short/empty past len(Xi)//b and
+    # inflated throughput ~1.3× — round-5 marginal_timeit audit)
+    n = len(Xi)
+    inputs = []
+    for i in range(16):
+        sl = np.arange(i * b, (i + 1) * b) % n
+        inputs.append((jnp.asarray(Xi[sl]), jnp.asarray(Xv[sl])))
     t = marginal_timeit(pred._fn, pred._model, inputs, reps=5)
     return b / t / 1e6, t * 1e3
 

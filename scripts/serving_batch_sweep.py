@@ -43,7 +43,7 @@ def main():
     for b in (int(s) for s in args.batches.split(",")):
         pred = Predictor(params, cfg)   # auto → grouped
         inputs = []
-        for _ in range(max(4, min(16, (16 * 8192) // b))):
+        for _ in range(16):   # marginal_timeit needs k2=16 DISTINCT inputs
             xi = rng.integers(0, [s for s in cfg.feature_sizes[13:]],
                               size=(b, 26)).astype(np.int32)
             xv = rng.normal(size=(b, 13)).astype(np.float32)

@@ -104,6 +104,10 @@ def marginal_timeit(fn: Callable, model, inputs, *, k1: int = 1, k2: int = 16,
             return tot
         return run
 
+    # a short list would silently run len(inputs) forwards while dividing by
+    # k2-k1 — a ~4× throughput inflation caught in the round-5 batch sweep
+    assert len(inputs) >= k2 > k1, \
+        f"marginal_timeit needs >= k2={k2} distinct inputs, got {len(inputs)}"
     r1, r2 = mk(k1), mk(k2)
     jax.device_get(r1(model, inputs[:k1]))
     jax.device_get(r2(model, inputs[:k2]))
